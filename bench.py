@@ -1,0 +1,93 @@
+"""Benchmark: batched pendulum DDP solves/s per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json north_star): >= 10_000 solves/s/chip for
+batched pendulum DDP (4096 initial states, shared cost, line-search sweep).
+
+Run on whatever accelerator jax finds (the driver runs it on one TPU chip);
+falls back to CPU cleanly.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 4096
+HORIZON = 32
+ITERS = 10
+TARGET = 10_000.0  # solves/s/chip (BASELINE.json)
+
+
+def main() -> None:
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: the batched-static program is large and the
+    # remote TPU compile is slow cold (~5 min); cached it loads in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from ddp_tpu.models.pendulum import pendulum
+    from ddp_tpu.ocp import constraints, costs, dynamics
+    from ddp_tpu.ocp.problem import Problem
+    from ddp_tpu.solver.batched import solve_batched
+    from ddp_tpu.solver.solve import SolverParams
+
+    dtype = jnp.float32
+    model = pendulum(1.0, 1.0, dtype=dtype)
+    dyn = dynamics.euler(model, 0.01)
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=model, target=jnp.asarray([3.14], dtype=dtype), active_ts=(HORIZON,)
+        ),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=HORIZON,
+        second_order=True,
+    )
+    params = SolverParams(max_iterations=ITERS, threshold=1e-5, mu=1e4)
+
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(
+        np.stack([rng.uniform(-np.pi, np.pi, BATCH), np.zeros(BATCH)], axis=1),
+        dtype=dtype,
+    )
+
+    fn = jax.jit(lambda x: solve_batched(problem, params, x))
+    # warm-up / compile
+    res = fn(x0s)
+    jax.block_until_ready(res.us)
+
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        res = fn(x0s)
+        jax.block_until_ready(res.us)
+    dt = (time.perf_counter() - t0) / n_rep
+
+    solves_per_s = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pendulum_ddp_solves_per_s_per_chip",
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

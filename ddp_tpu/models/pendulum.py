@@ -1,0 +1,49 @@
+"""Closed-form 1-DoF pendulum model.
+
+Reference: ``pendulum_model_t`` (pendulum_model.hpp:10-133):
+acceleration a = -g/l sin(q) + tau/m; vector-space integrate/difference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+_G = 9.81
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Pendulum:
+    mass: jax.Array
+    length: jax.Array
+
+    nq: int = dataclasses.field(default=1, metadata={"static": True})
+    nv: int = dataclasses.field(default=1, metadata={"static": True})
+    nu: int = dataclasses.field(default=1, metadata={"static": True})
+
+    name: str = dataclasses.field(default="pendulum", metadata={"static": True})
+
+    def neutral_configuration(self) -> jax.Array:
+        return jnp.zeros((1,), dtype=jnp.result_type(self.mass))
+
+    def random_configuration(self, key: jax.Array) -> jax.Array:
+        return jax.random.uniform(
+            key, (1,), minval=-jnp.pi, maxval=jnp.pi, dtype=jnp.result_type(self.mass)
+        )
+
+    def integrate(self, q: jax.Array, dq: jax.Array) -> jax.Array:
+        return q + dq
+
+    def difference(self, q0: jax.Array, q1: jax.Array) -> jax.Array:
+        return q1 - q0
+
+    def forward_dynamics(self, q: jax.Array, v: jax.Array, tau: jax.Array) -> jax.Array:
+        del v  # no damping, matching the reference (pendulum_model.hpp:105-114)
+        return -(_G / self.length) * jnp.sin(q) + tau / self.mass
+
+
+def pendulum(mass: float = 1.0, length: float = 1.0, dtype=jnp.float32) -> Pendulum:
+    return Pendulum(mass=jnp.asarray(mass, dtype), length=jnp.asarray(length, dtype))

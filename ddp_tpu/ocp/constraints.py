@@ -1,0 +1,161 @@
+"""Equality constraints eq(t, x, u) = 0 with dense masked schedules.
+
+The reference represents "constraint active only at some timesteps" with
+ragged row-filter indexers (indexer.hpp:328-448).  The TPU-native design is a
+dense array of fixed width ``ne`` per step plus a static 0/1 activity mask:
+XLA wants static shapes, and the masked FLOPs are negligible at these dims.
+Inactive steps contribute exactly zero to every solver term because value and
+Jacobians are multiplied by the mask.
+
+Constraint protocol (all constraints are registered-dataclass pytrees):
+- ``ne``: static max constraint dim
+- ``value(t, x, u) -> [ne]`` traced constraint value (unmasked)
+- ``active(t: int) -> bool`` Python-level activity schedule, evaluated at
+  trace time for t in range(horizon)
+
+Combinators mirror the reference:
+- ``ConfigTarget``   ≙ config_constraint_t  (problem.hpp:745-864)
+- ``FrameTarget``    ≙ spatial_constraint_t (problem.hpp:631-742)
+- ``AdvanceTime``    ≙ constraint_advance_time_t (problem.hpp:527-629):
+  eq'(t,x,u) = eq(t+1, f(t,x,u), u) — note the same u is forwarded to the
+  inner constraint/dynamics, exactly as the reference does
+  (problem.hpp:563-567), so double advancement rolls two steps with one u.
+- ``StackConstraints`` ≙ row_concat_indexer_t-style concatenation
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ddp_tpu.models.base import state_split
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class NoConstraint:
+    """ne = 0: unconstrained problem; all eq arrays are zero-width."""
+
+    ne: int = dataclasses.field(default=0, metadata={"static": True})
+
+    def value(self, t, x, u):
+        return jnp.zeros((0,), dtype=x.dtype)
+
+    def active(self, t: int) -> bool:
+        return False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConfigTarget:
+    """eq = q_target ⊖ q — reach a target configuration.
+
+    Reference: config_constraint_t::eval_to (problem.hpp:792-806) computes
+    difference(target_q, config(x)); its Jacobian d_difference_dq_finish
+    (problem.hpp:834-845) falls out of jacfwd here.
+    """
+
+    model: object
+    target: jax.Array  # [nq]
+    active_ts: tuple = dataclasses.field(default=(), metadata={"static": True})
+
+    @property
+    def ne(self) -> int:
+        return self.model.nv
+
+    def value(self, t, x, u):
+        del t, u
+        q, _ = state_split(self.model, x)
+        return self.model.difference(self.target, q)
+
+    def active(self, t: int) -> bool:
+        return t in self.active_ts
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FrameTarget:
+    """eq = frame_position(frame_id, q) − p_target (3-D end-effector target).
+
+    Reference: spatial_constraint_t (problem.hpp:631-742), the "spatial_eq"
+    variant (test/pinocchio_spatial_eq_ddp.cpp).
+    """
+
+    model: object
+    target: jax.Array  # [3]
+    frame_id: int = dataclasses.field(default=0, metadata={"static": True})
+    active_ts: tuple = dataclasses.field(default=(), metadata={"static": True})
+
+    ne: int = dataclasses.field(default=3, metadata={"static": True})
+
+    def value(self, t, x, u):
+        del t, u
+        q, _ = state_split(self.model, x)
+        return self.model.frame_position(self.frame_id, q) - self.target
+
+    def active(self, t: int) -> bool:
+        return t in self.active_ts
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AdvanceTime:
+    """Apply ``inner`` one step ahead through the dynamics.
+
+    eq'(t, x, u) = inner(t+1, f(t, x, u), u).  Same-u forwarding matches
+    constraint_advance_time_t::eval_to (problem.hpp:563-567); composing twice
+    therefore predicts two steps with a repeated control, as in the reference
+    pendulum/UR5 drivers (test/pendulum_ddp.cpp:52).  Derivatives come from
+    jacfwd through the composition — the reference's hand-rolled product rule
+    (problem.hpp:569-605) is unnecessary.
+    """
+
+    inner: object
+    dynamics: object
+
+    @property
+    def ne(self) -> int:
+        return self.inner.ne
+
+    def value(self, t, x, u):
+        x_next = self.dynamics(t, x, u)
+        return self.inner.value(t + 1, x_next, u)
+
+    def active(self, t: int) -> bool:
+        return self.inner.active(t + 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StackConstraints:
+    """Concatenate several constraints into one eq vector (≙ row-concat
+    indexers, indexer.hpp:152-195).  Each part keeps its own schedule; the
+    stacked mask is per-row, applied by the problem layer."""
+
+    parts: tuple
+
+    @property
+    def ne(self) -> int:
+        return sum(p.ne for p in self.parts)
+
+    def value(self, t, x, u):
+        return jnp.concatenate([p.value(t, x, u) for p in self.parts], axis=-1)
+
+    def active(self, t: int) -> bool:
+        return any(p.active(t) for p in self.parts)
+
+    def row_mask(self, t: int):
+        """Per-row activity at step t (parts may differ)."""
+        import numpy as np
+
+        return np.concatenate(
+            [np.full((p.ne,), p.active(t), dtype=bool) for p in self.parts]
+        )
+
+
+def advance_time(constraint, dynamics, times: int = 1):
+    for _ in range(times):
+        constraint = AdvanceTime(inner=constraint, dynamics=dynamics)
+    return constraint

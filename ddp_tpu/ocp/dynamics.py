@@ -1,0 +1,75 @@
+"""Discrete-time dynamics on the state manifold.
+
+``EulerDynamics`` matches the reference discretization exactly
+(``dynamics_t::eval_to``, problem.hpp:441-461):
+
+    q' = q ⊕ (dt · v)
+    v' = v + dt · FD(q, v, u)
+
+where FD is the model's forward dynamics (ABA).  An RK4 discretizer is
+provided as a TPU-native extension (the reference has only Euler).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ddp_tpu.models.base import state_pack, state_split
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EulerDynamics:
+    model: object
+    dt: jax.Array
+
+    def __call__(self, t, x: jax.Array, u: jax.Array) -> jax.Array:
+        del t
+        model = self.model
+        q, v = state_split(model, x)
+        a = model.forward_dynamics(q, v, u)
+        q_next = model.integrate(q, self.dt * v)
+        v_next = v + self.dt * a
+        return state_pack(q_next, v_next)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RK4Dynamics:
+    """Classical RK4 on the (q, v) manifold (tangent increments retracted once).
+
+    Not present in the reference; useful for larger dt at equal accuracy.
+    """
+
+    model: object
+    dt: jax.Array
+
+    def __call__(self, t, x: jax.Array, u: jax.Array) -> jax.Array:
+        del t
+        model = self.model
+        dt = self.dt
+
+        def xdot(q, v):
+            return v, model.forward_dynamics(q, v, u)
+
+        q0, v0 = state_split(model, x)
+        k1q, k1v = xdot(q0, v0)
+        k2q, k2v = xdot(model.integrate(q0, 0.5 * dt * k1q), v0 + 0.5 * dt * k1v)
+        k3q, k3v = xdot(model.integrate(q0, 0.5 * dt * k2q), v0 + 0.5 * dt * k2v)
+        k4q, k4v = xdot(model.integrate(q0, dt * k3q), v0 + dt * k3v)
+        dq = (dt / 6.0) * (k1q + 2 * k2q + 2 * k3q + k4q)
+        dv = (dt / 6.0) * (k1v + 2 * k2v + 2 * k3v + k4v)
+        return state_pack(model.integrate(q0, dq), v0 + dv)
+
+
+def euler(model, dt: float) -> EulerDynamics:
+    dtype = jnp.result_type(*jax.tree_util.tree_leaves(model))
+    return EulerDynamics(model=model, dt=jnp.asarray(dt, dtype))
+
+
+def rk4(model, dt: float) -> RK4Dynamics:
+    dtype = jnp.result_type(*jax.tree_util.tree_leaves(model))
+    return RK4Dynamics(model=model, dt=jnp.asarray(dt, dtype))

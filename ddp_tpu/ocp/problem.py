@@ -1,0 +1,202 @@
+"""Problem aggregate: dynamics + cost + equality constraint + derivatives.
+
+Reference analog: ``problem_t`` (problem.hpp:872-1150).  The reference's
+derivative engine is a finite-difference Hessian machine over analytic
+first-order Pinocchio derivatives (problem.hpp:50-341); here every derivative
+is one ``jax.jacfwd`` (or jacfwd∘jacfwd) of the tangent-space local maps
+
+    l̃(dx, du)  = l(t, x ⊕ dx, u + du)
+    f̃(dx, du)  = f(t, x ⊕ dx, u + du) ⊖ f(t, x, u)
+    eq̃(dx, du) = eq(t, x ⊕ dx, u + du)
+
+evaluated at 0, vmapped over the whole horizon, so XLA fuses the entire
+derivative sweep into one compiled program per solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddp_tpu.models.base import state_difference, state_integrate
+
+
+class Derivs(NamedTuple):
+    """Struct-of-stacked-arrays derivative storage.
+
+    Reference analog: derivative_storage_t (ddp.hpp:52-245).  Hessian layout
+    follows the reference tensors (outdim, indim_l, indim_r): e.g.
+    ``fux[t, o, i, j] = ∂²f_o/∂u_i∂x_j``.
+    """
+
+    lx: jax.Array  # [T, ndx]
+    lu: jax.Array  # [T, nu]
+    lxx: jax.Array  # [T, ndx, ndx]
+    lux: jax.Array  # [T, nu, ndx]
+    luu: jax.Array  # [T, nu, nu]
+    fx: jax.Array  # [T, ndx, ndx]
+    fu: jax.Array  # [T, ndx, nu]
+    fxx: jax.Array  # [T, ndx, ndx, ndx]
+    fux: jax.Array  # [T, ndx, nu, ndx]
+    fuu: jax.Array  # [T, ndx, nu, nu]
+    eq: jax.Array  # [T, ne]
+    eqx: jax.Array  # [T, ne, ndx]
+    equ: jax.Array  # [T, ne, nu]
+    eqxx: jax.Array  # [T, ne, ndx, ndx]
+    equx: jax.Array  # [T, ne, nu, ndx]
+    equu: jax.Array  # [T, ne, nu, nu]
+    lfx: jax.Array  # [ndx]
+    lfxx: jax.Array  # [ndx, ndx]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    dynamics: object
+    cost: object
+    constraint: object
+    horizon: int = dataclasses.field(metadata={"static": True})
+    # False → Gauss-Newton/iLQR mode: f and eq Hessians are zero.  The
+    # reference always runs full DDP; iLQR mode is the fast TPU default for
+    # batched workloads.
+    second_order: bool = dataclasses.field(default=True, metadata={"static": True})
+
+    @property
+    def model(self):
+        return self.dynamics.model
+
+    @property
+    def nx(self) -> int:
+        return self.model.nq + self.model.nv
+
+    @property
+    def ndx(self) -> int:
+        return 2 * self.model.nv
+
+    @property
+    def nu(self) -> int:
+        return self.model.nu
+
+    @property
+    def ne(self) -> int:
+        return self.constraint.ne
+
+    def f(self, t, x, u):
+        return self.dynamics(t, x, u)
+
+    def l(self, t, x, u):
+        return self.cost.stage(t, x, u)
+
+    def lf(self, x):
+        return self.cost.terminal(x)
+
+    def eq_mask(self) -> np.ndarray:
+        """Static [T, ne] 0/1 activity mask (≙ range/periodic row-filter
+        indexers, indexer.hpp:328-448)."""
+        T, ne = self.horizon, self.ne
+        if hasattr(self.constraint, "row_mask"):
+            rows = [self.constraint.row_mask(t) for t in range(T)]
+            return np.stack(rows).astype(np.float64) if T else np.zeros((0, ne))
+        return np.array(
+            [[float(self.constraint.active(t))] * ne for t in range(T)], dtype=np.float64
+        ).reshape(T, ne)
+
+    def eq(self, t, x, u):
+        """Unmasked constraint value; solver-facing users should go through
+        eq_masked/derivatives."""
+        return self.constraint.value(t, x, u)
+
+    def eq_all(self, xs, us):
+        """Masked eq values for a whole trajectory: [T, ne]."""
+        T = self.horizon
+        ts = jnp.arange(T)
+        mask = jnp.asarray(self.eq_mask(), dtype=xs.dtype)
+        vals = jax.vmap(self.constraint.value)(ts, xs[:-1], us)
+        return vals * mask
+
+    def rollout(self, x0, us):
+        """Roll the dynamics forward: xs[0]=x0, xs[t+1]=f(t, xs[t], us[t]).
+
+        ≙ make_trajectory (ddp.hpp:392-415)."""
+
+        def body(x, tu):
+            t, u = tu
+            x_next = self.dynamics(t, x, u)
+            return x_next, x_next
+
+        ts = jnp.arange(self.horizon)
+        _, xs_next = jax.lax.scan(body, x0, (ts, us))
+        return jnp.concatenate([x0[None], xs_next], axis=0)
+
+    def derivatives(self, xs, us) -> Derivs:
+        """All first/second-order derivatives along (xs, us).
+
+        ≙ problem_t::compute_derivatives (problem.hpp:956-1141), minus the
+        finite differences."""
+        model = self.model
+        ndx, nu, ne, T = self.ndx, self.nu, self.ne, self.horizon
+        nz = ndx + nu
+        dtype = xs.dtype
+        mask = jnp.asarray(self.eq_mask(), dtype=dtype)
+
+        def per_t(t, x, u):
+            def g(z):
+                dx, du = z[:ndx], z[ndx:]
+                xp = state_integrate(model, x, dx)
+                up = u + du
+                l_val = self.cost.stage(t, xp, up)
+                f_loc = state_difference(model, f_base, self.dynamics(t, xp, up))
+                eq_val = self.constraint.value(t, xp, up)
+                return l_val, f_loc, eq_val
+
+            f_base = self.dynamics(t, x, u)
+            z0 = jnp.zeros((nz,), dtype=dtype)
+            lz, fz, eqz = jax.jacfwd(g)(z0)
+            if self.second_order:
+                lzz, fzz, eqzz = jax.jacfwd(jax.jacfwd(g))(z0)
+            else:
+                lzz = jax.hessian(lambda z: g(z)[0])(z0)
+                fzz = jnp.zeros((ndx, nz, nz), dtype=dtype)
+                eqzz = jnp.zeros((ne, nz, nz), dtype=dtype)
+            eq0 = self.constraint.value(t, x, u)
+            return lz, lzz, fz, fzz, eqz, eqzz, eq0
+
+        ts = jnp.arange(T)
+        lz, lzz, fz, fzz, eqz, eqzz, eq0 = jax.vmap(per_t)(ts, xs[:-1], us)
+
+        sx = slice(None, ndx)
+        su = slice(ndx, None)
+
+        def lfg(dx):
+            return self.cost.terminal(state_integrate(model, xs[-1], dx))
+
+        dx0 = jnp.zeros((ndx,), dtype=dtype)
+        lfx = jax.jacfwd(lfg)(dx0)
+        lfxx = jax.jacfwd(jax.jacfwd(lfg))(dx0)
+
+        m1 = mask[:, :, None]
+        m2 = mask[:, :, None, None]
+        return Derivs(
+            lx=lz[:, sx],
+            lu=lz[:, su],
+            lxx=lzz[:, sx, sx],
+            lux=lzz[:, su, sx],
+            luu=lzz[:, su, su],
+            fx=fz[:, :, sx],
+            fu=fz[:, :, su],
+            fxx=fzz[:, :, sx, sx],
+            fux=fzz[:, :, su, sx],
+            fuu=fzz[:, :, su, su],
+            eq=eq0 * mask,
+            eqx=eqz[:, :, sx] * m1,
+            equ=eqz[:, :, su] * m1,
+            eqxx=eqzz[:, :, sx, sx] * m2,
+            equx=eqzz[:, :, su, sx] * m2,
+            equu=eqzz[:, :, su, su] * m2,
+            lfx=lfx,
+            lfxx=lfxx,
+        )

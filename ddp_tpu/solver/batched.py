@@ -1,0 +1,321 @@
+"""Throughput-mode batched solver: static control flow end-to-end.
+
+``solve()`` (solver/solve.py) mirrors the reference's data-dependent outer
+loop (early exit, Cholesky-retry restarts, serial step-halving).  Those
+while_loops are correct but hostile to the TPU compiler and to batched
+throughput: under vmap every sample pays for the slowest sample's loop, and
+deeply nested dynamic control flow compiles poorly.
+
+This module is the TPU-native production path (BASELINE.json configs[1]:
+"batched pendulum iLQR: 4096 initial states per chip, shared cost,
+line-search sweep"):
+
+- outer loop: ``lax.scan`` over a **fixed** iteration count
+- line search: **parallel sweep** over step candidates (1, ½, ¼, …) — one
+  batched rollout per candidate, accept the largest step with Δcost ≤ 0
+  (same acceptance rule as the reference's serial halving, ddp_fwd.ipp:53-63,
+  evaluated in parallel); samples with no accepted candidate keep their
+  trajectory
+- Cholesky failure: per-sample reg escalation for the *next* iteration
+  (≙ ddp_bwd.ipp:105-110's bump-and-restart, amortized across iterations
+  instead of restarting a sweep)
+- AL schedule: same gating as solve() but expressed as masked elementwise
+  updates — every sample carries its own (μ, n, w) state.
+
+Everything vmaps: the public entry takes a batch of initial states and
+returns stacked results.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ddp_tpu.solver import al as al_mod
+from ddp_tpu.solver.rollout import feedback_rollout
+from ddp_tpu.solver.solve import Method, SolverParams
+
+
+class BatchSolveResult(NamedTuple):
+    xs: jax.Array  # [B, T+1, nx]
+    us: jax.Array  # [B, T, nu]
+    fb_k: jax.Array  # [B, T, nu]
+    fb_K: jax.Array  # [B, T, nu, ndx]
+    opt_constr: jax.Array  # [B]
+    opt_lag: jax.Array  # [B]
+    mu: jax.Array  # [B]
+
+
+def _backward_multi_reg(derivs, mult_val, mult_jac, mu, reg, n_levels=4):
+    """Static-control-flow analog of the reference's Cholesky-retry loop
+    (ddp_bwd.ipp:26, 105-132): run the sweep at several regularization levels
+    in parallel — [reg, 2·max(reg,μ), 32·max(reg,μ), …] — and keep the
+    smallest level that factorizes everywhere.  Returns (k, K, ok, reg_used).
+    """
+    base = jnp.maximum(reg, mu) * 2.0
+    dtype = derivs.lx.dtype
+    scales = 16.0 ** jnp.arange(n_levels - 1, dtype=dtype)
+    levels = jnp.concatenate([reg[None], base * scales])
+    ks, Ks, oks = jax.vmap(lambda r: _backward_sweep(derivs, mult_val, mult_jac, mu, r))(
+        levels
+    )
+    idx = jnp.argmax(oks)  # first (smallest-reg) successful level
+    any_ok = jnp.any(oks)
+    return ks[idx], Ks[idx], any_ok, levels[idx]
+
+
+def _backward_sweep(derivs, mult_val, mult_jac, mu, reg):
+    """One Riccati sweep (no retry loop): returns (k, K, ok)."""
+    nu = derivs.lu.shape[1]
+    dtype = derivs.lx.dtype
+    I_u = jnp.eye(nu, dtype=dtype)
+
+    inputs = (
+        derivs.lx, derivs.lu, derivs.lxx, derivs.lux, derivs.luu,
+        derivs.fx, derivs.fu, derivs.fxx, derivs.fux, derivs.fuu,
+        derivs.eq, derivs.eqx, derivs.equ, derivs.eqxx, derivs.equx, derivs.equu,
+        mult_val, mult_jac,
+    )  # fmt: skip
+
+    def step(carry, inp):
+        Vx, Vxx = carry
+        (lx, lu, lxx, lux, luu, fx, fu, fxx, fux, fuu,
+         eqv, eqx, equ, eqxx, equx, equu, pe, pex) = inp  # fmt: skip
+        tmp = pe + mu * eqv
+        tmp2 = pex + mu * eqx
+        Qx = lx + fx.T @ Vx + eqx.T @ tmp + pex.T @ eqv
+        Qu = lu + fu.T @ Vx + equ.T @ tmp
+        Qxx = (
+            lxx + fx.T @ Vxx @ fx + eqx.T @ tmp2 + pex.T @ eqx
+            + jnp.einsum("o,oij->ij", tmp, eqxx)
+            + jnp.einsum("o,oij->ij", Vx, fxx)
+        )  # fmt: skip
+        Quu = (
+            luu + fu.T @ Vxx @ fu + mu * equ.T @ equ
+            + jnp.einsum("o,oij->ij", tmp, equu)
+            + jnp.einsum("o,oij->ij", Vx, fuu)
+        )  # fmt: skip
+        Qux = (
+            lux + fu.T @ Vxx @ fx + equ.T @ tmp2
+            + jnp.einsum("o,oij->ij", tmp, equx)
+            + jnp.einsum("o,oij->ij", Vx, fux)
+        )  # fmt: skip
+        chol = jnp.linalg.cholesky(Quu + reg * I_u)
+        ok_t = jnp.all(jnp.isfinite(chol))
+        k = -jax.scipy.linalg.cho_solve((chol, True), Qu)
+        K = -jax.scipy.linalg.cho_solve((chol, True), Qux)
+        Vx_new = Qx + Qux.T @ k
+        Vxx_new = Qxx + Qux.T @ K
+        return (Vx_new, Vxx_new), (k, K, ok_t)
+
+    _, (ks, Ks, oks) = jax.lax.scan(step, (derivs.lfx, derivs.lfxx), inputs, reverse=True)
+    return ks, Ks, jnp.all(oks)
+
+
+def _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_candidates):
+    """Parallel line-search: rollout all candidate steps, pick the largest
+    accepted one; keep the incumbent trajectory when none is accepted."""
+    dtype = xs.dtype
+    steps = 2.0 ** -jnp.arange(n_candidates, dtype=dtype)  # 1, ½, ¼, …
+    cost_old = jnp.sum(al_mod.al_costs(problem, xs, us, mults, mu))
+
+    def rollout_at(step):
+        xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step)
+        cost = jnp.sum(al_mod.al_costs(problem, xs_c, us_c, mults, mu))
+        return xs_c, us_c, cost
+
+    xs_cand, us_cand, cost_cand = jax.vmap(rollout_at)(steps)
+    accepted = cost_cand - cost_old <= 0
+    # index of first (largest-step) accepted candidate; n_candidates if none
+    idx = jnp.argmax(accepted)
+    any_acc = jnp.any(accepted)
+    xs_new = jnp.where(any_acc, xs_cand[idx], xs)
+    us_new = jnp.where(any_acc, us_cand[idx], us)
+    step_used = jnp.where(any_acc, steps[idx], jnp.zeros((), dtype))
+    return xs_new, us_new, step_used
+
+
+def solve_batched(
+    problem,
+    params: SolverParams,
+    x0s: jax.Array,  # [B, nx]
+    us_init: jax.Array | None = None,  # [B, T, nu]
+    method: Method = Method.PRIMAL_DUAL_AFFINE,
+    n_linesearch: int = 8,
+) -> BatchSolveResult:
+    """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
+    iterations for every sample (converged samples no-op via the line-search
+    keeping their trajectory)."""
+    T, nu, ne, ndx = problem.horizon, problem.nu, problem.ne, problem.ndx
+    dtype = x0s.dtype
+    model = problem.model
+    affine = method is Method.PRIMAL_DUAL_AFFINE
+    eps = jnp.finfo(dtype).eps
+    w_min = jnp.asarray(
+        params.w_min if params.w_min is not None else 10.0 * eps**0.5, dtype
+    )
+    threshold = jnp.asarray(params.threshold, dtype)
+
+    def single(x0, u_init):
+        xs = problem.rollout(x0, u_init)
+        us = u_init
+        mults = al_mod.init_multipliers(problem, xs)
+        mu = jnp.asarray(params.mu, dtype)
+        reg = jnp.asarray(params.reg, dtype)
+        w = jnp.asarray(params.w if params.w is not None else 1.0 / params.mu, dtype)
+        n = jnp.asarray(params.n if params.n is not None else 1.0 / params.mu**0.1, dtype)
+
+        def constrain_jac(jac):
+            return jac if affine else jnp.zeros_like(jac)
+
+        # pre-loop backward/forward (≙ solve(): ddp.hpp:768-773)
+        derivs = problem.derivatives(xs, us)
+        k, K, ok, reg_u = _backward_multi_reg(derivs, mults.val, mults.jac, mu, reg)
+        xs1, us1, step = _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_linesearch)
+        ok_f = jnp.isfinite(
+            jnp.sum(us1)
+        )  # guard: failed cholesky poisons the candidate rollouts
+        ok = jnp.logical_and(ok, ok_f)
+        xs = jnp.where(ok, xs1, xs)
+        us = jnp.where(ok, us1, us)
+        # NaN gains from a failed factorization must never enter the carry:
+        # 0·NaN = NaN would poison later masked updates
+        fb = al_mod.AffineMults(
+            jnp.where(ok, k, jnp.zeros_like(k)),
+            jnp.where(ok, K, jnp.zeros_like(K)),
+            xs[:-1],
+        )
+        # carry the reg level that actually factorized; escalate further only
+        # if every level failed (μ is left alone — see note in iteration())
+        reg = jnp.where(ok, reg_u, jnp.maximum(reg, mu) * 2.0)
+
+        class C(NamedTuple):
+            xs: jax.Array
+            us: jax.Array
+            mults: al_mod.AffineMults
+            fb: al_mod.AffineMults
+            mu: jax.Array
+            reg: jax.Array
+            w: jax.Array
+            n: jax.Array
+            oo_prev: jax.Array
+            just_changed: jax.Array
+
+        def iteration(c: C, _):
+            derivs = problem.derivatives(c.xs, c.us)
+            mults = al_mod.update_origin(model, c.mults, c.xs)
+            mults = mults._replace(jac=constrain_jac(mults.jac))
+            fbm = al_mod.update_origin(model, c.fb, c.xs)
+
+            oo = al_mod.optimality_obj(problem, derivs, mults.val, mults.jac, c.mu)
+            oc = al_mod.optimality_constr(derivs)
+            olag = al_mod.optimality_lag(problem, derivs, mults.val, mults.jac)
+            done = jnp.logical_and(olag < threshold, oc < threshold)
+
+            plateau = jnp.logical_and(oo >= 0.1 * c.oo_prev, ~c.just_changed)
+            gate = jnp.logical_or(oo < jnp.maximum(c.w, w_min), plateau)
+            upd_s = jnp.logical_and(~done, jnp.logical_and(gate, oc < c.n))
+            upd_f = jnp.logical_and(~done, jnp.logical_and(gate, oc >= c.n))
+
+            # where-select (not gain·delta): a NaN delta under a closed gate
+            # must not leak into the multipliers
+            val_upd = mults.val + c.mu * (
+                derivs.eq + jnp.einsum("tou,tu->to", derivs.equ, fbm.val)
+            )
+            jac_upd = mults.jac + c.mu * (
+                derivs.eqx + jnp.einsum("tou,tuj->toj", derivs.equ, fbm.jac)
+            )
+            mults = mults._replace(
+                val=jnp.where(upd_s, val_upd, mults.val),
+                jac=constrain_jac(jnp.where(upd_s, jac_upd, mults.jac)),
+            )
+            mu_new = jnp.where(upd_f, c.mu * 10.0, c.mu)
+            n_new = jnp.where(
+                upd_s,
+                jnp.maximum(c.n * c.mu**-0.9, threshold),
+                jnp.where(upd_f, mu_new**-0.1, c.n),
+            )
+            w_new = jnp.where(upd_s, c.w / c.mu, c.w)
+
+            k, K, ok, reg_u = _backward_multi_reg(
+                derivs, mults.val, mults.jac, mu_new, c.reg
+            )
+            xs1, us1, step = _linesearch_sweep(
+                problem, c.xs, c.us, k, K, mults, mu_new, n_linesearch
+            )
+            ok = jnp.logical_and(ok, jnp.isfinite(jnp.sum(us1)))
+            # carry the reg level that factorized; relax on a full accepted
+            # step (ddp.hpp:819-824); escalate only if all levels failed.
+            # Unlike the reference's in-sweep retry we never escalate μ here:
+            # compounding μ·2 across outer iterations blows μ past the
+            # float64-useful range.
+            reg_new = jnp.where(
+                ok,
+                jnp.where(
+                    step >= 0.5,
+                    jnp.where(reg_u / 2 < 1e-5, jnp.zeros_like(reg_u), reg_u / 2),
+                    reg_u,
+                ),
+                jnp.maximum(c.reg, mu_new) * 2.0,
+            )
+            xs_new = jnp.where(ok, xs1, c.xs)
+            us_new = jnp.where(ok, us1, c.us)
+            fb_new = jax.tree.map(
+                lambda old, new: jnp.where(ok, new, old),
+                c.fb,
+                al_mod.AffineMults(
+                    jnp.where(ok, k, jnp.zeros_like(k)),
+                    jnp.where(ok, K, jnp.zeros_like(K)),
+                    c.xs[:-1],
+                ),
+            )
+            return (
+                C(
+                    xs=xs_new,
+                    us=us_new,
+                    mults=mults,
+                    fb=fb_new,
+                    mu=mu_new,
+                    reg=reg_new,
+                    w=w_new,
+                    n=n_new,
+                    oo_prev=oo,
+                    just_changed=jnp.logical_or(upd_s, upd_f),
+                ),
+                None,
+            )
+
+        init = C(
+            xs=xs,
+            us=us,
+            mults=mults,
+            fb=fb,
+            mu=mu,
+            reg=reg,
+            w=w,
+            n=n,
+            oo_prev=jnp.asarray(jnp.inf, dtype),
+            just_changed=jnp.asarray(True),
+        )
+        final, _ = jax.lax.scan(iteration, init, None, length=params.max_iterations)
+
+        derivs = problem.derivatives(final.xs, final.us)
+        mults = al_mod.update_origin(model, final.mults, final.xs)
+        oc = al_mod.optimality_constr(derivs)
+        olag = al_mod.optimality_lag(problem, derivs, mults.val, mults.jac)
+        return final, oc, olag
+
+    if us_init is None:
+        us_init = jnp.zeros((x0s.shape[0], T, nu), dtype=dtype)
+    final, oc, olag = jax.vmap(single)(x0s, us_init)
+    return BatchSolveResult(
+        xs=final.xs,
+        us=final.us,
+        fb_k=final.fb.val,
+        fb_K=final.fb.jac,
+        opt_constr=oc,
+        opt_lag=olag,
+        mu=final.mu,
+    )

@@ -1,0 +1,273 @@
+"""Top-level equality-constrained DDP solve: the augmented-Lagrangian outer
+loop.
+
+Reference: ``ddp_solver_t::solve`` (ddp.hpp:744-842) and
+``update_derivatives`` (ddp.hpp:641-696).  Control flow map:
+
+    reference                          here
+    ---------                          ----
+    outer for-loop w/ early return     lax.while_loop, `done` flag
+    multiplier update decision tree    masked scalar updates (jnp.where)
+    backward restart loop              bounded while_loop in riccati.py
+    line-search halving loop           bounded while_loop in rollout.py
+
+The whole solve is a single pure JAX function: jit it once, vmap it over
+thousands of initial states / targets, shard the batch over a TPU mesh.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ddp_tpu.solver import al as al_mod
+from ddp_tpu.solver.riccati import backward_pass
+from ddp_tpu.solver.rollout import forward_pass
+
+
+class Method(enum.Enum):
+    """≙ method enum (ddp.hpp:18-22).
+
+    PRIMAL and PRIMAL_DUAL_CONSTANT keep the multiplier state-independent
+    (jac pinned to zero, the reference's zero_t/constant split); AFFINE gives
+    multipliers a state-feedback term re-expanded each iteration.
+    """
+
+    PRIMAL = "primal"
+    PRIMAL_DUAL_CONSTANT = "primal_dual_constant_multipliers"
+    PRIMAL_DUAL_AFFINE = "primal_dual_affine_multipliers"
+
+
+class SolverParams(NamedTuple):
+    """≙ solver_parameters_t (ddp.hpp:42-50).  w/n defaults follow the test
+    drivers: w = 1/μ, n = 1/μ^0.1 (test/pendulum_ddp.cpp:102-103).
+
+    Finite-precision additions (the reference runs its schedule under
+    MPFR-1000, where w /= μ each success stays meaningful; in f64/f32 it
+    collapses below the attainable optimality floor within one update):
+
+    - ``w_min``: floor on the inner-convergence tolerance w.  None → scaled
+      to dtype as 10·sqrt(eps).
+    - plateau gating (always on): if the μ-dependent inner optimality measure
+      failed to drop 10× since the previous iterate *and* the previous
+      iteration did not change (p, μ), the inner Newton solve is at its
+      numerical floor and the multiplier-update gate opens.
+    """
+
+    max_iterations: int
+    threshold: float
+    mu: float
+    reg: float = 0.0
+    w: float | None = None
+    n: float | None = None
+    w_min: float | None = None
+
+
+class SolveStats(NamedTuple):
+    iterations: jax.Array
+    opt_obj: jax.Array
+    opt_constr: jax.Array
+    mu: jax.Array
+    reg: jax.Array
+    step: jax.Array
+    converged: jax.Array
+
+
+class SolveResult(NamedTuple):
+    xs: jax.Array  # [T+1, nx]
+    us: jax.Array  # [T, nu]
+    fb_k: jax.Array  # [T, nu]       feedforward (for MPC warm starts)
+    fb_K: jax.Array  # [T, nu, ndx]  feedback gains
+    mults: al_mod.AffineMults
+    stats: SolveStats
+
+
+def solve(
+    problem,
+    params: SolverParams,
+    x_init: jax.Array,
+    us_init: jax.Array | None = None,
+    method: Method = Method.PRIMAL_DUAL_AFFINE,
+) -> SolveResult:
+    T, nu, ne, ndx = problem.horizon, problem.nu, problem.ne, problem.ndx
+    dtype = x_init.dtype
+    model = problem.model
+
+    if us_init is None:
+        us_init = jnp.zeros((T, nu), dtype=dtype)
+    xs = problem.rollout(x_init, us_init)
+    us = us_init
+
+    mu = jnp.asarray(params.mu, dtype)
+    reg = jnp.asarray(params.reg, dtype)
+    w = jnp.asarray(params.w if params.w is not None else 1.0 / params.mu, dtype)
+    n = jnp.asarray(
+        params.n if params.n is not None else 1.0 / params.mu**0.1, dtype
+    )
+    threshold = jnp.asarray(params.threshold, dtype)
+    eps = jnp.finfo(dtype).eps
+    w_min = jnp.asarray(
+        params.w_min if params.w_min is not None else 10.0 * eps**0.5, dtype
+    )
+
+    affine = method is Method.PRIMAL_DUAL_AFFINE
+    mults = al_mod.init_multipliers(problem, xs)
+
+    def constrain_jac(jac):
+        # constant-multiplier methods never grow a state-feedback term
+        return jac if affine else jnp.zeros_like(jac)
+
+    # --- pre-loop: derivatives → backward → forward (ddp.hpp:768-773) ---
+    derivs = problem.derivatives(xs, us)
+    bres = backward_pass(derivs, mults.val, mults.jac, mu, reg)
+    mu = bres.mu
+    fwd = forward_pass(problem, xs, us, bres.k, bres.K, mults, mu)
+    fb_val, fb_jac, fb_origin = bres.k, bres.K, xs[:-1]
+    xs, us = fwd.xs, fwd.us
+
+    class Carry(NamedTuple):
+        it: jax.Array
+        done: jax.Array
+        xs: jax.Array
+        us: jax.Array
+        mults: al_mod.AffineMults
+        fb_val: jax.Array
+        fb_jac: jax.Array
+        fb_origin: jax.Array
+        mu: jax.Array
+        reg: jax.Array
+        w: jax.Array
+        n: jax.Array
+        opt_obj: jax.Array
+        opt_constr: jax.Array
+        step: jax.Array
+        opt_obj_prev: jax.Array
+        just_changed: jax.Array  # (p, μ) changed last iteration → give the
+        # inner Newton solve at least one step before trusting a plateau
+
+    def cond(c: Carry):
+        return jnp.logical_and(c.it < params.max_iterations, ~c.done)
+
+    def body(c: Carry) -> Carry:
+        # --- update_derivatives (ddp.hpp:641-696) ---
+        derivs = problem.derivatives(c.xs, c.us)
+        mults = al_mod.update_origin(model, c.mults, c.xs)
+        mults = mults._replace(jac=constrain_jac(mults.jac))
+        fbm = al_mod.update_origin(
+            model,
+            al_mod.AffineMults(c.fb_val, c.fb_jac, c.fb_origin),
+            c.xs,
+        )
+
+        opt_obj = al_mod.optimality_obj(problem, derivs, mults.val, mults.jac, c.mu)
+        opt_constr = al_mod.optimality_constr(derivs)
+        # Stopping uses the μ-free Lagrangian stationarity measure
+        # (optimality_lag, ddp.hpp:525-573): the reference's opt_obj carries
+        # μ·eqᵀeq_u terms whose float floor is μ·eps — unusable as a
+        # convergence test once μ has escalated past 1/eps.
+        opt_lag = al_mod.optimality_lag(problem, derivs, mults.val, mults.jac)
+
+        done = jnp.logical_and(opt_lag < threshold, opt_constr < threshold)
+        # inner-convergence gate: the reference's opt_obj < w, with a dtype
+        # floor and plateau detection (see SolverParams docstring)
+        plateau = jnp.logical_and(opt_obj >= 0.1 * c.opt_obj_prev, ~c.just_changed)
+        gate = jnp.logical_or(opt_obj < jnp.maximum(c.w, w_min), plateau)
+        upd_success = jnp.logical_and(~done, jnp.logical_and(gate, opt_constr < c.n))
+        upd_failure = jnp.logical_and(~done, jnp.logical_and(gate, opt_constr >= c.n))
+
+        # first-order AL multiplier update (ddp.hpp:680-688):
+        #   p   += μ (eq + eq_u·k);  p_x += μ (eq_x + eq_u·K)
+        gain = jnp.where(upd_success, c.mu, jnp.zeros_like(c.mu))
+        new_val = mults.val + gain * (
+            derivs.eq + jnp.einsum("tou,tu->to", derivs.equ, fbm.val)
+        )
+        new_jac = mults.jac + gain * (
+            derivs.eqx + jnp.einsum("tou,tuj->toj", derivs.equ, fbm.jac)
+        )
+        mults = mults._replace(val=new_val, jac=constrain_jac(new_jac))
+
+        # Tolerance schedule.  The reference tightens n = opt_obj/μ^0.1 and
+        # w /= μ (ddp.hpp:795-797) — but opt_obj is μ-scaled, so under finite
+        # precision that rule lets updates fire unconditionally and the
+        # multipliers pick up μ-amplified noise.  We use the classic
+        # LANCELOT-style multiplicative tightening instead, floored at the
+        # stopping threshold; behavior coincides with the reference when
+        # precision is not the binding constraint.
+        mu_new = jnp.where(upd_failure, c.mu * 10.0, c.mu)
+        n_new = jnp.where(
+            upd_success,
+            jnp.maximum(c.n * c.mu**-0.9, threshold),
+            jnp.where(upd_failure, mu_new**-0.1, c.n),
+        )
+        w_new = jnp.where(upd_success, c.w / c.mu, c.w)
+
+        # --- backward / forward (ddp.hpp:804-826) ---
+        bres = backward_pass(derivs, mults.val, mults.jac, mu_new, c.reg)
+        fwd = forward_pass(problem, c.xs, c.us, bres.k, bres.K, mults, bres.mu)
+        reg = jnp.where(
+            fwd.step >= 0.5,
+            jnp.where(bres.reg / 2 < 1e-5, jnp.zeros_like(bres.reg), bres.reg / 2),
+            bres.reg,
+        )
+
+        keep = lambda old, new: jnp.where(done, old, new)
+        return Carry(
+            it=c.it + 1,
+            done=done,
+            xs=keep(c.xs, fwd.xs),
+            us=keep(c.us, fwd.us),
+            mults=jax.tree.map(keep, c.mults, mults),
+            fb_val=keep(c.fb_val, bres.k),
+            fb_jac=keep(c.fb_jac, bres.K),
+            fb_origin=keep(c.fb_origin, c.xs[:-1]),
+            mu=keep(c.mu, bres.mu),
+            reg=keep(c.reg, reg),
+            w=keep(c.w, w_new),
+            n=keep(c.n, n_new),
+            opt_obj=opt_lag,
+            opt_constr=opt_constr,
+            step=keep(c.step, fwd.step),
+            opt_obj_prev=opt_obj,
+            just_changed=jnp.logical_or(upd_success, upd_failure),
+        )
+
+    init = Carry(
+        it=jnp.asarray(0),
+        done=jnp.asarray(False),
+        xs=xs,
+        us=us,
+        mults=mults,
+        fb_val=fb_val,
+        fb_jac=fb_jac,
+        fb_origin=fb_origin,
+        mu=mu,
+        reg=reg,
+        w=w,
+        n=n,
+        opt_obj=jnp.asarray(jnp.inf, dtype),
+        opt_constr=jnp.asarray(jnp.inf, dtype),
+        step=fwd.step,
+        opt_obj_prev=jnp.asarray(jnp.inf, dtype),
+        just_changed=jnp.asarray(True),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    return SolveResult(
+        xs=final.xs,
+        us=final.us,
+        fb_k=final.fb_val,
+        fb_K=final.fb_jac,
+        mults=final.mults,
+        stats=SolveStats(
+            iterations=final.it,
+            opt_obj=final.opt_obj,
+            opt_constr=final.opt_constr,
+            mu=final.mu,
+            reg=final.reg,
+            step=final.step,
+            converged=final.done,
+        ),
+    )

@@ -1,0 +1,126 @@
+"""Taylor-expansion self-checks of the jacfwd-based derivative engine.
+
+Mirrors the reference's embedded debug verification (problem.hpp:999-1139):
+random tangent perturbations must match first-order terms to O(ε²) and
+second-order terms to O(ε³).  float64 is the oracle (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddp_tpu.models.base import state_difference, state_integrate
+from ddp_tpu.models.pendulum import pendulum
+from ddp_tpu.ocp import constraints, costs, dynamics
+from ddp_tpu.ocp.problem import Problem
+
+HORIZON = 12
+DT = 0.01
+
+
+@pytest.fixture
+def problem():
+    model = pendulum(1.3, 0.7, dtype=jnp.float64)
+    dyn = dynamics.euler(model, DT)
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=model, target=jnp.asarray([1.5], dtype=jnp.float64), active_ts=(HORIZON,)
+        ),
+        dyn,
+        times=2,
+    )
+    return Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=jnp.float64),
+        constraint=con,
+        horizon=HORIZON,
+        second_order=True,
+    )
+
+
+def random_traj(problem, key):
+    kx, ku = jax.random.split(key)
+    x0 = jax.random.normal(kx, (problem.nx,), dtype=jnp.float64) * 0.3
+    us = jax.random.normal(ku, (problem.horizon, problem.nu), dtype=jnp.float64) * 0.5
+    xs = problem.rollout(x0, us)
+    return xs, us
+
+
+def test_dynamics_taylor(problem):
+    """f(x⊕dx, u+du) ⊖ f(x,u) ≈ fx dx + fu du + ½(dx,du)ᵀH(dx,du)."""
+    model = problem.model
+    xs, us = random_traj(problem, jax.random.key(0))
+    derivs = problem.derivatives(xs, us)
+    eps = 1e-4
+    rng = np.random.default_rng(1)
+
+    for t in [0, 3, HORIZON - 1]:
+        x, u = xs[t], us[t]
+        dx = jnp.asarray(rng.standard_normal(problem.ndx)) * eps
+        du = jnp.asarray(rng.standard_normal(problem.nu)) * eps
+        f0 = problem.f(t, x, u)
+        f1 = problem.f(t, state_integrate(model, x, dx), u + du)
+        df = state_difference(model, f0, f1)
+
+        lin = derivs.fx[t] @ dx + derivs.fu[t] @ du
+        quad = 0.5 * (
+            jnp.einsum("oij,i,j->o", derivs.fxx[t], dx, dx)
+            + 2 * jnp.einsum("oij,i,j->o", derivs.fux[t], du, dx)
+            + jnp.einsum("oij,i,j->o", derivs.fuu[t], du, du)
+        )
+        assert np.linalg.norm(df - lin) < 10 * eps**2 * max(1, np.linalg.norm(df) / eps)
+        assert np.linalg.norm(df - lin - quad) < 100 * eps**3 / eps * np.linalg.norm(df)
+
+
+def test_constraint_taylor(problem):
+    model = problem.model
+    xs, us = random_traj(problem, jax.random.key(2))
+    derivs = problem.derivatives(xs, us)
+    t = HORIZON - 2  # the active step
+    mask = problem.eq_mask()
+    assert mask[t].all() and not mask[t - 1].any()
+
+    eps = 1e-5
+    rng = np.random.default_rng(3)
+    x, u = xs[t], us[t]
+    dx = jnp.asarray(rng.standard_normal(problem.ndx)) * eps
+    du = jnp.asarray(rng.standard_normal(problem.nu)) * eps
+    e0 = problem.eq(t, x, u)
+    e1 = problem.eq(t, state_integrate(model, x, dx), u + du)
+    deq = e1 - e0
+    lin = derivs.eqx[t] @ dx + derivs.equ[t] @ du
+    assert np.linalg.norm(deq - lin) < 100 * eps**2
+
+    # masked steps contribute nothing
+    assert float(jnp.abs(derivs.eq[t - 1]).max()) == 0.0
+    assert float(jnp.abs(derivs.eqx[t - 1]).max()) == 0.0
+
+
+def test_cost_derivatives_closed_form(problem):
+    """Default cost l = ½c‖u‖²: lu = c·u, luu = c·I, lx = 0 (problem.hpp:982-987)."""
+    xs, us = random_traj(problem, jax.random.key(4))
+    derivs = problem.derivatives(xs, us)
+    c = 1.0
+    np.testing.assert_allclose(derivs.lu, c * us, rtol=1e-12)
+    np.testing.assert_allclose(derivs.lx, 0.0, atol=1e-12)
+    np.testing.assert_allclose(
+        derivs.luu, np.broadcast_to(c * np.eye(problem.nu), derivs.luu.shape), rtol=1e-12
+    )
+    np.testing.assert_allclose(derivs.lfx, 0.0, atol=1e-12)
+
+
+def test_advance_time_composition_semantics(problem):
+    """Double advance evaluates the inner constraint on a two-step rollout
+    with the same control (problem.hpp:563-567)."""
+    model = problem.model
+    dyn = problem.dynamics
+    t = HORIZON - 2
+    x = jnp.asarray([0.3, -0.2], dtype=jnp.float64)
+    u = jnp.asarray([0.7], dtype=jnp.float64)
+    x1 = dyn(t, x, u)
+    x2 = dyn(t + 1, x1, u)  # same u — reference semantics
+    target = jnp.asarray([1.5], dtype=jnp.float64)
+    expected = model.difference(target, x2[:1])
+    got = problem.eq(t, x, u)
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
