@@ -1,0 +1,519 @@
+"""JAX-native rigid-body dynamics: spatial algebra, Lie-group joints,
+RNEA / CRBA / forward dynamics, forward kinematics and frames.
+
+This replaces the reference's Pinocchio dependency (pinocchio_model.hpp/.ipp
+— URDF-loaded articulated robots, ABA forward dynamics + analytical
+derivatives, Lie-group integrate/difference, frame kinematics).  Everything
+here is pure jnp: ``jax.jacfwd`` through these functions supplies every
+derivative the solver needs (the reference needed Pinocchio's hand-derived
+``computeABADerivatives``, ipp:359-400, plus finite-difference Hessians).
+
+Design notes (TPU-first):
+- Featherstone spatial vectors, (angular, linear) ordering.
+- Explicit 6×6 Plücker transforms: body counts are small (≤ ~10), loops
+  unroll statically at trace time, and 6×6 matmuls batch beautifully under
+  vmap.  The force-side transform is the motion transform's transpose
+  (f_parent = Xᵀ f_child), so one matrix serves both sweeps.
+- Forward dynamics = CRBA mass matrix + Cholesky solve (a = M⁻¹(τ − bias))
+  rather than a serial ABA recursion: same O(n³) at these sizes but far more
+  parallel work per step, and M is reused by vmapped batches.  The method
+  ``dynamics_aba`` name is kept for parity with the reference model concept
+  (pendulum_model.hpp:105, pinocchio_model.ipp:337).
+- Joint types: revolute (axis), prismatic (axis), continuous (cos/sin),
+  spherical (quaternion), free-flyer, planar — the synthetic all-joints test
+  model (ipp:68-90) plus everything a UR5-class arm needs.
+
+Configuration layout: per-joint blocks concatenated (order of
+``joint_types``); tangent/velocity layout likewise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddp_tpu.ops import lie
+
+# (nq, nv) per joint type
+JOINT_DIMS = {
+    "revolute": (1, 1),
+    "prismatic": (1, 1),
+    "continuous": (2, 1),  # unbounded revolute, (cos, sin) config
+    "spherical": (4, 3),  # unit quaternion (w, x, y, z)
+    "freeflyer": (7, 6),  # (x, y, z, qw, qx, qy, qz); tangent (v_lin, ω) local
+    "planar": (4, 3),  # (x, y, cos, sin); tangent (vx, vy, ω) local
+}
+
+
+# ---------------------------------------------------------------------------
+# spatial algebra
+# ---------------------------------------------------------------------------
+
+
+def xmat(E: jax.Array, r: jax.Array) -> jax.Array:
+    """6×6 motion transform X for coords change A→B given rotation E (A→B)
+    and translation r (origin of B in A coords): X = [[E, 0], [−E·r̂, E]]."""
+    Z = jnp.zeros_like(E)
+    return jnp.block([[E, Z], [-E @ lie.hat(r), E]])
+
+
+def crm(v: jax.Array) -> jax.Array:
+    """Motion cross product matrix (v ×): [[ω̂, 0], [v̂_lin, ω̂]]."""
+    w, vl = v[:3], v[3:]
+    Z = jnp.zeros((3, 3), dtype=v.dtype)
+    return jnp.block([[lie.hat(w), Z], [lie.hat(vl), lie.hat(w)]])
+
+
+def crf(v: jax.Array) -> jax.Array:
+    """Force cross product matrix (v ×*) = −crm(v)ᵀ."""
+    return -crm(v).T
+
+
+def spatial_inertia(mass, com, inertia_com) -> jax.Array:
+    """6×6 spatial inertia about the body-frame origin from mass, CoM offset
+    and rotational inertia at the CoM: [[I_c − m·ĉ·ĉ, m·ĉ], [−m·ĉ, m·1]]."""
+    c = lie.hat(jnp.asarray(com))
+    m = jnp.asarray(mass)
+    I3 = jnp.eye(3, dtype=c.dtype)
+    Ic = jnp.asarray(inertia_com)
+    return jnp.block([[Ic - m * (c @ c), m * c], [-m * c, m * I3]])
+
+
+def _axis_rotation(axis: jax.Array, q: jax.Array) -> jax.Array:
+    """Rotation matrix about a unit axis (Rodrigues)."""
+    K = lie.hat(axis)
+    c, s = jnp.cos(q), jnp.sin(q)
+    return jnp.eye(3, dtype=axis.dtype) + s * K + (1.0 - c) * (K @ K)
+
+
+# ---------------------------------------------------------------------------
+# joint models: X_joint(qj) (E, r), motion subspace S, manifold ops
+# ---------------------------------------------------------------------------
+
+
+def _joint_transform_S(jtype: str, qj: jax.Array, axis: jax.Array, dtype):
+    """Returns (E, r, S): parent-side joint frame → child body frame
+    transform and the 6×nv_j motion subspace in child coordinates."""
+    I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype=dtype)
+    z3 = jnp.zeros(3, dtype=dtype)
+    if jtype == "revolute":
+        E = _axis_rotation(axis, qj[0]).T
+        S = jnp.concatenate([axis, z3])[:, None]
+        return E, z3, S
+    if jtype == "continuous":
+        c, s = qj[0], qj[1]
+        K = lie.hat(axis)
+        R = I3 + s * K + (1.0 - c) * (K @ K)
+        S = jnp.concatenate([axis, z3])[:, None]
+        return R.T, z3, S
+    if jtype == "prismatic":
+        S = jnp.concatenate([z3, axis])[:, None]
+        return I3, qj[0] * axis, S
+    if jtype == "spherical":
+        E = lie.quat_to_mat(qj).T
+        S = jnp.concatenate([I3, Z3], axis=0)
+        return E, z3, S
+    if jtype == "freeflyer":
+        p, quat = qj[:3], qj[3:]
+        E = lie.quat_to_mat(quat).T
+        # tangent coords (v_lin_local, ω_local) → spatial (ω, v)
+        S = jnp.block([[Z3, I3], [I3, Z3]])
+        return E, p, S
+    if jtype == "planar":
+        x, y, c, s = qj[0], qj[1], qj[2], qj[3]
+        R = jnp.asarray([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]], dtype=dtype)
+        E = R.T
+        r = jnp.stack([x, y, jnp.zeros((), dtype)])
+        # tangent coords (vx, vy, ω) local
+        S = jnp.zeros((6, 3), dtype=dtype).at[2, 2].set(1.0).at[3, 0].set(1.0).at[4, 1].set(1.0)
+        return E, r, S
+    raise ValueError(f"unknown joint type {jtype}")
+
+
+def _joint_integrate(jtype: str, qj: jax.Array, vj: jax.Array) -> jax.Array:
+    if jtype in ("revolute", "prismatic"):
+        return qj + vj
+    if jtype == "continuous":
+        return lie.so2_integrate(qj, vj[0])
+    if jtype == "spherical":
+        return lie.quat_mul(qj, lie.quat_exp(vj))
+    if jtype == "freeflyer":
+        p, quat = qj[:3], qj[3:]
+        dp, dw = vj[:3], vj[3:]
+        # translation increment expressed in the local (child) frame
+        p_new = p + lie.quat_rotate(quat, dp)
+        return jnp.concatenate([p_new, lie.quat_mul(quat, lie.quat_exp(dw))])
+    if jtype == "planar":
+        x, y, c, s = qj[0], qj[1], qj[2], qj[3]
+        dx, dy, dth = vj[0], vj[1], vj[2]
+        x_new = x + c * dx - s * dy
+        y_new = y + s * dx + c * dy
+        cs_new = lie.so2_integrate(qj[2:], dth)
+        return jnp.concatenate([jnp.stack([x_new, y_new]), cs_new])
+    raise ValueError(jtype)
+
+
+def _joint_difference(jtype: str, qj0: jax.Array, qj1: jax.Array) -> jax.Array:
+    if jtype in ("revolute", "prismatic"):
+        return qj1 - qj0
+    if jtype == "continuous":
+        return lie.so2_difference(qj0, qj1)[None]
+    if jtype == "spherical":
+        return lie.quat_log(lie.quat_mul(lie.quat_conj(qj0), qj1))
+    if jtype == "freeflyer":
+        p0, quat0 = qj0[:3], qj0[3:]
+        p1, quat1 = qj1[:3], qj1[3:]
+        dp = lie.quat_rotate(lie.quat_conj(quat0), p1 - p0)
+        dw = lie.quat_log(lie.quat_mul(lie.quat_conj(quat0), quat1))
+        return jnp.concatenate([dp, dw])
+    if jtype == "planar":
+        c0, s0 = qj0[2], qj0[3]
+        dxy_world = qj1[:2] - qj0[:2]
+        dx = c0 * dxy_world[0] + s0 * dxy_world[1]
+        dy = -s0 * dxy_world[0] + c0 * dxy_world[1]
+        dth = lie.so2_difference(qj0[2:], qj1[2:])
+        return jnp.stack([dx, dy, dth])
+    raise ValueError(jtype)
+
+
+def _joint_neutral(jtype: str, dtype) -> np.ndarray:
+    if jtype in ("revolute", "prismatic"):
+        return np.zeros(1)
+    if jtype == "continuous":
+        return np.array([1.0, 0.0])
+    if jtype == "spherical":
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    if jtype == "freeflyer":
+        return np.array([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])
+    if jtype == "planar":
+        return np.array([0.0, 0.0, 1.0, 0.0])
+    raise ValueError(jtype)
+
+
+# ---------------------------------------------------------------------------
+# robot model
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RobotModel:
+    """Articulated rigid-body model (≙ pinocchio::model_t wrapper surface,
+    pinocchio_model.hpp:15-186)."""
+
+    # arrays (pytree leaves)
+    jp_rot: jax.Array  # [nb, 3, 3] joint placement rotation (parent→joint)
+    jp_trans: jax.Array  # [nb, 3]   joint placement translation
+    axes: jax.Array  # [nb, 3]   joint axis (revolute/prismatic/continuous)
+    inertias: jax.Array  # [nb, 6, 6] spatial inertia in body frame
+    gravity: jax.Array  # [3]
+    frame_rot: jax.Array  # [nf, 3, 3] frame placement on its body
+    frame_trans: jax.Array  # [nf, 3]
+    damping: jax.Array  # [nv] viscous joint damping (0 = reference behavior)
+
+    # static metadata
+    joint_types: tuple = dataclasses.field(metadata={"static": True})
+    parents: tuple = dataclasses.field(metadata={"static": True})
+    frame_bodies: tuple = dataclasses.field(default=(), metadata={"static": True})
+    frame_names: tuple = dataclasses.field(default=(), metadata={"static": True})
+    name: str = dataclasses.field(default="robot", metadata={"static": True})
+
+    # ---- dims (static) ----
+    @property
+    def nb(self) -> int:
+        return len(self.joint_types)
+
+    @property
+    def nq(self) -> int:
+        return sum(JOINT_DIMS[t][0] for t in self.joint_types)
+
+    @property
+    def nv(self) -> int:
+        return sum(JOINT_DIMS[t][1] for t in self.joint_types)
+
+    @property
+    def nu(self) -> int:
+        return self.nv
+
+    def _q_slices(self):
+        out, o = [], 0
+        for t in self.joint_types:
+            n = JOINT_DIMS[t][0]
+            out.append(slice(o, o + n))
+            o += n
+        return out
+
+    def _v_slices(self):
+        out, o = [], 0
+        for t in self.joint_types:
+            n = JOINT_DIMS[t][1]
+            out.append(slice(o, o + n))
+            o += n
+        return out
+
+    @property
+    def dtype(self):
+        return self.inertias.dtype
+
+    # ---- configuration manifold ----
+    def neutral_configuration(self) -> jax.Array:
+        return jnp.asarray(
+            np.concatenate([_joint_neutral(t, None) for t in self.joint_types]),
+            dtype=self.dtype,
+        )
+
+    def random_configuration(self, key: jax.Array) -> jax.Array:
+        """Uniform tangent perturbation of the neutral configuration
+        (≙ random_configuration, pendulum_model.hpp:42)."""
+        v = jax.random.uniform(key, (self.nv,), minval=-jnp.pi, maxval=jnp.pi, dtype=self.dtype)
+        return self.integrate(self.neutral_configuration(), v)
+
+    def integrate(self, q: jax.Array, dq: jax.Array) -> jax.Array:
+        parts = []
+        for t, qs, vs in zip(self.joint_types, self._q_slices(), self._v_slices()):
+            parts.append(_joint_integrate(t, q[qs], dq[vs]))
+        return jnp.concatenate(parts)
+
+    def difference(self, q0: jax.Array, q1: jax.Array) -> jax.Array:
+        parts = []
+        for t, qs in zip(self.joint_types, self._q_slices()):
+            parts.append(_joint_difference(t, q0[qs], q1[qs]))
+        return jnp.concatenate(parts)
+
+    # ---- kinematics ----
+    def _joint_X_S(self, q: jax.Array):
+        """Per-body parent→body 6×6 transforms and motion subspaces."""
+        Xs, Ss = [], []
+        for i, (t, qs) in enumerate(zip(self.joint_types, self._q_slices())):
+            Ej, rj, S = _joint_transform_S(t, q[qs], self.axes[i], self.dtype)
+            # compose fixed placement (parent body → joint frame) with the
+            # joint transform (joint frame → child body):
+            #   E = Ej·Ep,  r = rp + Epᵀ·rj
+            Ep, rp = self.jp_rot[i], self.jp_trans[i]
+            E = Ej @ Ep
+            r = rp + Ep.T @ rj
+            Xs.append(xmat(E, r))
+            Ss.append(S)
+        return Xs, Ss
+
+    def body_poses(self, q: jax.Array):
+        """World pose (R_wb [3,3], p_wb [3]) of every body frame."""
+        Rs, ps = [], []
+        for i, (t, qs) in enumerate(zip(self.joint_types, self._q_slices())):
+            Ej, rj, _ = _joint_transform_S(t, q[qs], self.axes[i], self.dtype)
+            Ep, rp = self.jp_rot[i], self.jp_trans[i]
+            E = Ej @ Ep  # parent coords → body coords
+            r = rp + Ep.T @ rj  # body origin in parent coords
+            p = self.parents[i]
+            if p < 0:
+                R_w, p_w = E.T, r
+            else:
+                R_w, p_w = Rs[p] @ E.T, Rs[p] @ r + ps[p]
+            Rs.append(R_w)
+            ps.append(p_w)
+        return Rs, ps
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.frame_bodies)
+
+    def frame_name(self, i: int) -> str:
+        return self.frame_names[i]
+
+    def frame_pose(self, frame_id: int, q: jax.Array):
+        """World pose of an operational frame (≙ frame FK,
+        pinocchio_model.ipp:417-431)."""
+        Rs, ps = self.body_poses(q)
+        b = self.frame_bodies[frame_id]
+        R = Rs[b] @ self.frame_rot[frame_id]
+        p = Rs[b] @ self.frame_trans[frame_id] + ps[b]
+        return R, p
+
+    def frame_position(self, frame_id: int, q: jax.Array) -> jax.Array:
+        return self.frame_pose(frame_id, q)[1]
+
+    def frame_jacobian(self, frame_id: int, q: jax.Array) -> jax.Array:
+        """[3, nv] Jacobian of the frame position w.r.t. tangent perturbation
+        (≙ d_frame_coordinates, ipp:433-462) — one jacfwd, no hand algebra."""
+        zero = jnp.zeros((self.nv,), dtype=self.dtype)
+        return jax.jacfwd(
+            lambda e: self.frame_position(frame_id, self.integrate(q, e))
+        )(zero)
+
+    # ---- dynamics ----
+    def rnea(self, q: jax.Array, v: jax.Array, a: jax.Array) -> jax.Array:
+        """Recursive Newton-Euler inverse dynamics: τ(q, v, a), gravity
+        included (≙ the declared-but-unimplemented inverse_dynamics_rnea,
+        pinocchio_model.hpp:180-185 — implemented here)."""
+        Xs, Ss = self._joint_X_S(q)
+        vsl = self._v_slices()
+        nb = self.nb
+        a0 = jnp.concatenate([jnp.zeros(3, self.dtype), -self.gravity])
+
+        vel, acc, f = [None] * nb, [None] * nb, [None] * nb
+        for i in range(nb):
+            p = self.parents[i]
+            vj = Ss[i] @ v[vsl[i]]
+            aj = Ss[i] @ a[vsl[i]]
+            if p < 0:
+                vel[i] = vj
+                acc[i] = Xs[i] @ a0 + aj + crm(vel[i]) @ vj
+            else:
+                vel[i] = Xs[i] @ vel[p] + vj
+                acc[i] = Xs[i] @ acc[p] + aj + crm(vel[i]) @ vj
+            f[i] = self.inertias[i] @ acc[i] + crf(vel[i]) @ (self.inertias[i] @ vel[i])
+
+        tau = [None] * nb
+        for i in reversed(range(nb)):
+            tau[i] = Ss[i].T @ f[i]
+            p = self.parents[i]
+            if p >= 0:
+                f[p] = f[p] + Xs[i].T @ f[i]
+        return jnp.concatenate(tau) + self.damping * v
+
+    def mass_matrix(self, q: jax.Array) -> jax.Array:
+        """Composite-rigid-body algorithm: M(q) [nv, nv]."""
+        Xs, Ss = self._joint_X_S(q)
+        vsl = self._v_slices()
+        nb, nv = self.nb, self.nv
+        Ic = [self.inertias[i] for i in range(nb)]
+        M = jnp.zeros((nv, nv), dtype=self.dtype)
+        for i in reversed(range(nb)):
+            p = self.parents[i]
+            if p >= 0:
+                Ic[p] = Ic[p] + Xs[i].T @ Ic[i] @ Xs[i]
+            F = Ic[i] @ Ss[i]  # [6, nv_i]
+            M = M.at[vsl[i], vsl[i]].set(Ss[i].T @ F)
+            j = i
+            while self.parents[j] >= 0:
+                F = Xs[j].T @ F
+                j = self.parents[j]
+                M = M.at[vsl[j], vsl[i]].set(Ss[j].T @ F)
+                M = M.at[vsl[i], vsl[j]].set((Ss[j].T @ F).T)
+        return M
+
+    def bias_forces(self, q: jax.Array, v: jax.Array) -> jax.Array:
+        """Coriolis/centrifugal + gravity torques: C(q, v) = RNEA(q, v, 0)."""
+        return self.rnea(q, v, jnp.zeros((self.nv,), dtype=self.dtype))
+
+    def forward_dynamics(self, q: jax.Array, v: jax.Array, tau: jax.Array) -> jax.Array:
+        """a = M(q)⁻¹ (τ − C(q, v)) via Cholesky.
+
+        TPU-native stand-in for Pinocchio's ABA (ipp:337-357): identical
+        result, batched-friendly dense solve instead of the serial
+        articulated-body recursion."""
+        M = self.mass_matrix(q)
+        rhs = tau - self.bias_forces(q, v)
+        chol = jnp.linalg.cholesky(M)
+        return jax.scipy.linalg.cho_solve((chol, True), rhs)
+
+    # parity alias with the reference model concept
+    dynamics_aba = forward_dynamics
+
+    def energy(self, q: jax.Array, v: jax.Array) -> jax.Array:
+        """Total mechanical energy (test oracle: conserved when unforced)."""
+        kinetic = 0.5 * v @ self.mass_matrix(q) @ v
+        Rs, ps = self.body_poses(q)
+        potential = jnp.zeros((), dtype=self.dtype)
+        for i in range(self.nb):
+            I = self.inertias[i]
+            m = I[5, 5]
+            # m·ĉ is the upper-right block; recover CoM offset
+            mc_hat = I[:3, 3:]
+            c = jnp.stack([mc_hat[2, 1], mc_hat[0, 2], mc_hat[1, 0]])
+            com_w = Rs[i] @ (c / jnp.maximum(m, 1e-12)) + ps[i]
+            potential = potential - m * self.gravity @ com_w
+        return kinetic + potential
+
+
+# ---------------------------------------------------------------------------
+# model builders
+# ---------------------------------------------------------------------------
+
+
+def build_model(
+    joints: list,
+    gravity=(0.0, 0.0, -9.81),
+    frames: list | None = None,
+    name: str = "robot",
+    dtype=jnp.float64,
+) -> RobotModel:
+    """Assemble a RobotModel from per-joint dicts:
+
+    dict(type=..., parent=int, placement_rot=3×3, placement_trans=3,
+         axis=3, mass=float, com=3, inertia=3×3)
+
+    frames: list of dict(name=..., body=int, rot=3×3, trans=3).
+    """
+    nb = len(joints)
+    jp_rot = np.stack([np.asarray(j.get("placement_rot", np.eye(3))) for j in joints])
+    jp_trans = np.stack([np.asarray(j.get("placement_trans", np.zeros(3))) for j in joints])
+    axes = np.stack([np.asarray(j.get("axis", [0.0, 0.0, 1.0]), dtype=np.float64) for j in joints])
+    # normalize axes for revolute-family joints
+    axes = axes / np.maximum(np.linalg.norm(axes, axis=1, keepdims=True), 1e-12)
+    inertias = np.stack(
+        [
+            np.asarray(
+                spatial_inertia(
+                    j.get("mass", 1.0),
+                    np.asarray(j.get("com", np.zeros(3))),
+                    np.asarray(j.get("inertia", np.eye(3) * 1e-3)),
+                )
+            )
+            for j in joints
+        ]
+    )
+    frames = frames or []
+    nf = len(frames)
+    frame_rot = np.stack([np.asarray(f.get("rot", np.eye(3))) for f in frames]) if nf else np.zeros((0, 3, 3))
+    frame_trans = np.stack([np.asarray(f.get("trans", np.zeros(3))) for f in frames]) if nf else np.zeros((0, 3))
+
+    joint_types = tuple(j["type"] for j in joints)
+    nv = sum(JOINT_DIMS[t][1] for t in joint_types)
+    return RobotModel(
+        jp_rot=jnp.asarray(jp_rot, dtype),
+        jp_trans=jnp.asarray(jp_trans, dtype),
+        axes=jnp.asarray(axes, dtype),
+        inertias=jnp.asarray(inertias, dtype),
+        gravity=jnp.asarray(np.asarray(gravity), dtype),
+        frame_rot=jnp.asarray(frame_rot, dtype),
+        frame_trans=jnp.asarray(frame_trans, dtype),
+        damping=jnp.zeros((nv,), dtype),
+        joint_types=joint_types,
+        parents=tuple(j["parent"] for j in joints),
+        frame_bodies=tuple(f["body"] for f in frames),
+        frame_names=tuple(f.get("name", f"frame{k}") for k, f in enumerate(frames)),
+        name=name,
+    )
+
+
+def all_joints_test_model(dtype=jnp.float64) -> RobotModel:
+    """Synthetic model covering every Lie-group joint type — the TPU analog
+    of the reference's all_joints_test_model (freeflyer + spherical + planar,
+    pinocchio_model.ipp:68-90), extended with the remaining types."""
+    joints = [
+        dict(type="freeflyer", parent=-1, mass=2.0, com=[0.05, 0.0, 0.1], inertia=np.diag([0.02, 0.03, 0.025])),
+        dict(type="spherical", parent=0, placement_trans=[0.2, 0.0, 0.0], mass=1.0, com=[0.0, 0.0, 0.15], inertia=np.diag([0.01, 0.012, 0.008])),
+        dict(type="planar", parent=1, placement_trans=[0.0, 0.1, 0.0], mass=0.5, com=[0.1, 0.0, 0.0], inertia=np.diag([0.005, 0.006, 0.004])),
+        dict(type="revolute", parent=2, placement_trans=[0.1, 0.0, 0.0], axis=[0.0, 1.0, 0.0], mass=0.7, com=[0.0, 0.0, 0.2], inertia=np.diag([0.004, 0.005, 0.003])),
+        dict(type="continuous", parent=3, placement_trans=[0.0, 0.0, 0.3], axis=[1.0, 0.0, 0.0], mass=0.4, com=[0.0, 0.1, 0.0], inertia=np.diag([0.002, 0.003, 0.0025])),
+        dict(type="prismatic", parent=4, placement_trans=[0.0, 0.1, 0.0], axis=[0.0, 0.0, 1.0], mass=0.3, com=[0.0, 0.0, 0.05], inertia=np.diag([0.001, 0.001, 0.001])),
+    ]
+    frames = [dict(name="tip", body=5, trans=[0.0, 0.0, 0.1])]
+    return build_model(joints, frames=frames, name="all_joints", dtype=dtype)
+
+
+def double_pendulum(dtype=jnp.float64) -> RobotModel:
+    """Planar double pendulum (two y-axis revolute joints), the
+    ``pinocchio_double``-class benchmark model (BASELINE.json configs[2])."""
+    joints = [
+        dict(type="revolute", parent=-1, axis=[0.0, 1.0, 0.0], mass=1.0, com=[0.0, 0.0, -0.5], inertia=np.diag([0.05, 0.05, 1e-4])),
+        dict(type="revolute", parent=0, placement_trans=[0.0, 0.0, -1.0], axis=[0.0, 1.0, 0.0], mass=1.0, com=[0.0, 0.0, -0.5], inertia=np.diag([0.05, 0.05, 1e-4])),
+    ]
+    frames = [dict(name="tip", body=1, trans=[0.0, 0.0, -1.0])]
+    return build_model(joints, frames=frames, name="double_pendulum", dtype=dtype)

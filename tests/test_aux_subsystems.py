@@ -1,0 +1,124 @@
+"""Aux subsystems: diagnostics, MPC driver, checkpointing, mesh sharding."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ddp_tpu.diagnostics.checks import assert_finite, check_derivatives
+from ddp_tpu.diagnostics.profiling import ConvergenceTrace, chronometer
+from ddp_tpu.models.pendulum import pendulum
+from ddp_tpu.ocp import constraints, costs, dynamics
+from ddp_tpu.ocp.problem import Problem
+from ddp_tpu.solver.mpc import MPCCarry, init_carry, make_mpc_step, run_mpc
+from ddp_tpu.solver.solve import SolverParams
+from ddp_tpu.utils import checkpoint
+
+H = 40
+
+
+def make_problem(dtype=jnp.float64, horizon=H):
+    model = pendulum(1.0, 1.0, dtype=dtype)
+    dyn = dynamics.euler(model, 0.01)
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=model, target=jnp.asarray([3.14], dtype=dtype), active_ts=(horizon,)
+        ),
+        dyn,
+        times=2,
+    )
+    return Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=horizon,
+    )
+
+
+def test_derivative_self_check():
+    """≙ the reference's embedded debug Taylor verification
+    (problem.hpp:999-1139) as an opt-in diagnostic."""
+    problem = make_problem()
+    us = 0.1 * jnp.ones((H, 1))
+    xs = problem.rollout(jnp.asarray([0.3, 0.0]), us)
+    report = check_derivatives(problem, xs, us, eps=1e-6)
+    assert bool(report.ok)
+    assert float(report.f_first_order) < 1e-4
+    assert float(report.f_second_order) < 1e-7
+
+
+def test_assert_finite_raises():
+    import pytest
+
+    assert_finite({"a": jnp.ones(3)})
+    with pytest.raises(FloatingPointError):
+        assert_finite({"a": jnp.asarray([1.0, jnp.nan])}, "bad")
+
+
+def test_chronometer_and_trace(tmp_path):
+    log = str(tmp_path / "chrono.log")
+    with chronometer("unit-test phase", path=log):
+        _ = jnp.ones(8).sum()
+    assert "unit-test phase" in open(log).read()
+
+    tr = ConvergenceTrace("unit", directory=str(tmp_path))
+    tr.record(1e-3, 1e-2)
+    tr.record(1e-5, 1e-4)
+    assert len(open(tr.primal).read().splitlines()) == 2
+
+
+def test_mpc_receding_horizon():
+    """Warm-started replanning drives the pendulum to the target and keeps
+    it there (BASELINE configs[5]-class driver, single scenario)."""
+    problem = make_problem(horizon=30)
+    params = SolverParams(max_iterations=4, threshold=1e-6, mu=1e6)
+    step = make_mpc_step(problem, params)
+    carry = init_carry(problem, dtype=jnp.float64)
+    x = jnp.asarray([0.0, 0.0])
+    for t in range(60):
+        out = step(x, carry)
+        carry = out.carry
+        x = problem.dynamics(0, x, out.u0)
+    # after 60 replans the pendulum should be swinging toward/at the target
+    assert np.isfinite(np.asarray(x)).all()
+    assert abs(float(x[0]) - 3.14) < 0.3
+
+
+def test_mpc_on_device_loop():
+    problem = make_problem(horizon=20)
+    params = SolverParams(max_iterations=3, threshold=1e-6, mu=1e5)
+    xs, us, ocs = jax.jit(
+        lambda x: run_mpc(problem, params, x, n_steps=10)
+    )(jnp.zeros(2))
+    assert xs.shape == (11, 2) and us.shape == (10, 1)
+    assert np.isfinite(np.asarray(xs)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "us": jnp.arange(6.0).reshape(3, 2),
+        "nested": (jnp.ones(4), jnp.zeros((2, 2))),
+    }
+    path = str(tmp_path / "state.npz")
+    checkpoint.save(path, tree)
+    like = jax.tree.map(jnp.zeros_like, tree)
+    restored = checkpoint.load(path, like)
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mesh_sharded_batch_solve():
+    """Batch axis sharded over the 8-device CPU mesh with psum-reduced
+    global stats (the multi-chip scaling path, SURVEY.md §5)."""
+    from ddp_tpu.parallel.mesh import batch_sharded_solve, make_batch_mesh
+
+    problem = make_problem(dtype=jnp.float64, horizon=20)
+    params = SolverParams(max_iterations=15, threshold=1e-8, mu=1e6)
+    mesh = make_batch_mesh(8)
+    fn = batch_sharded_solve(problem, params, mesh)
+    x0s = jnp.stack([jnp.array([0.05 * i, 0.0]) for i in range(16)])
+    us, stats = fn(x0s)
+    assert us.shape == (16, 20, 1)
+    assert np.isfinite(np.asarray(us)).all()
+    assert np.isfinite(float(stats["mean_constr"]))

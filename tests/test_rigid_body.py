@@ -1,0 +1,214 @@
+"""Property tests for the JAX rigid-body engine.
+
+Mirrors the reference's tier-1 Pinocchio property tests (test/pinocchio.cpp:
+integrate/difference round-trip and d_difference first-order checks on the
+all-joints model, run in MPFR-1000) with float64 + jacfwd as the oracle, and
+adds dynamics-level identities (CRBA↔RNEA, FD∘ID, energy conservation) the
+reference delegates to Pinocchio's own test suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddp_tpu.models import base
+from ddp_tpu.models.pendulum import pendulum
+from ddp_tpu.models.rigid_body import (
+    all_joints_test_model,
+    build_model,
+    double_pendulum,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return all_joints_test_model()
+
+
+def rand_q(model, key):
+    return model.random_configuration(key)
+
+
+def rand_v(model, key, scale=1.0):
+    return scale * jax.random.normal(key, (model.nv,), dtype=jnp.float64)
+
+
+# ---- manifold ops (≙ test/pinocchio.cpp:17-57) ----
+
+
+def test_integrate_difference_roundtrip(model):
+    for seed in range(5):
+        k1, k2 = jax.random.split(jax.random.key(seed))
+        q = rand_q(model, k1)
+        v = rand_v(model, k2)
+        q1 = model.integrate(q, v)
+        v_back = model.difference(q, q1)
+        np.testing.assert_allclose(np.asarray(v_back), np.asarray(v), atol=1e-9)
+
+
+def test_difference_integrate_roundtrip(model):
+    for seed in range(5):
+        k1, k2 = jax.random.split(jax.random.key(seed + 10))
+        q0 = rand_q(model, k1)
+        q1 = rand_q(model, k2)
+        d = model.difference(q0, q1)
+        q1_rec = model.integrate(q0, d)
+        # compare via difference (configs with quaternions may differ by sign)
+        resid = model.difference(q1_rec, q1)
+        np.testing.assert_allclose(np.asarray(resid), 0.0, atol=1e-9)
+
+
+def test_difference_jacobian_first_order(model):
+    """≙ test/pinocchio.cpp:59-100 (d_difference_dq_finish vs perturbation)."""
+    k1, k2, k3 = jax.random.split(jax.random.key(42), 3)
+    q0 = rand_q(model, k1)
+    q1 = rand_q(model, k2)
+    x0 = base.state_pack(q0, jnp.zeros(model.nv))
+    x1 = base.state_pack(q1, jnp.zeros(model.nv))
+    J = base.state_difference_jacobian(model, x0, x1)
+    eps = 1e-6
+    dx = eps * jax.random.normal(k3, (2 * model.nv,), dtype=jnp.float64)
+    d0 = base.state_difference(model, x0, x1)
+    d1 = base.state_difference(model, x0, base.state_integrate(model, x1, dx))
+    np.testing.assert_allclose(np.asarray(d1 - d0), np.asarray(J @ dx), atol=50 * eps**2)
+
+
+def test_neutral_configuration_is_identity(model):
+    q = model.neutral_configuration()
+    v = model.difference(q, q)
+    np.testing.assert_allclose(np.asarray(v), 0.0, atol=1e-12)
+
+
+# ---- dynamics identities ----
+
+
+def test_crba_matches_rnea_columns(model):
+    """M e_i = RNEA(q, 0, e_i) − RNEA(q, 0, 0): the standard CRBA/RNEA
+    consistency identity."""
+    q = rand_q(model, jax.random.key(1))
+    M = model.mass_matrix(q)
+    zero_v = jnp.zeros(model.nv)
+    tau0 = model.rnea(q, zero_v, zero_v)
+    for i in range(model.nv):
+        e = jnp.zeros(model.nv).at[i].set(1.0)
+        col = model.rnea(q, zero_v, e) - tau0
+        np.testing.assert_allclose(np.asarray(col), np.asarray(M[:, i]), atol=1e-9)
+
+
+def test_mass_matrix_spd(model):
+    q = rand_q(model, jax.random.key(2))
+    M = np.asarray(model.mass_matrix(q))
+    np.testing.assert_allclose(M, M.T, atol=1e-10)
+    assert np.all(np.linalg.eigvalsh(M) > 0)
+
+
+def test_fd_id_roundtrip(model):
+    """forward_dynamics then rnea reproduces the input torques."""
+    k1, k2, k3 = jax.random.split(jax.random.key(3), 3)
+    q = rand_q(model, k1)
+    v = rand_v(model, k2)
+    tau = rand_v(model, k3, scale=2.0)
+    a = model.forward_dynamics(q, v, tau)
+    tau_rec = model.rnea(q, v, a)
+    np.testing.assert_allclose(np.asarray(tau_rec), np.asarray(tau), atol=1e-8)
+
+
+def test_energy_conservation_double_pendulum():
+    """Unforced double pendulum conserves energy under fine RK4 rollout."""
+    model = double_pendulum()
+    from ddp_tpu.ocp.dynamics import rk4
+
+    dyn = rk4(model, 0.001)
+    x = base.state_pack(jnp.asarray([0.8, -0.4]), jnp.asarray([0.0, 0.0]))
+    e0 = model.energy(x[:2], x[2:])
+
+    def step(x, _):
+        return dyn(0, x, jnp.zeros(2)), None
+
+    x_end, _ = jax.lax.scan(step, x, None, length=2000)
+    e1 = model.energy(x_end[:2], x_end[2:])
+    assert abs(float(e1 - e0)) < 1e-6 * max(1.0, abs(float(e0)))
+
+
+def test_energy_conservation_all_joints(model):
+    """Free-floating all-joints chain conserves energy (gravity included)."""
+    from ddp_tpu.ocp.dynamics import rk4
+
+    dyn = rk4(model, 0.0005)
+    k1, k2 = jax.random.split(jax.random.key(7))
+    q = rand_q(model, k1)
+    v = rand_v(model, k2, scale=0.3)
+    x = base.state_pack(q, v)
+    e0 = model.energy(q, v)
+
+    def step(x, _):
+        return dyn(0, x, jnp.zeros(model.nv)), None
+
+    x_end, _ = jax.lax.scan(step, x, None, length=1000)
+    e1 = model.energy(x_end[: model.nq], x_end[model.nq :])
+    assert abs(float(e1 - e0)) < 1e-4 * max(1.0, abs(float(e0)))
+
+
+def test_single_revolute_matches_closed_form_pendulum():
+    """1-DoF revolute chain == the closed-form pendulum (m=l=1):
+    a = −(g/l)·sin q + τ/m  (pendulum_model.hpp:105-114)."""
+    rb = build_model(
+        [
+            dict(
+                type="revolute",
+                parent=-1,
+                axis=[0.0, 1.0, 0.0],
+                mass=1.0,
+                com=[0.0, 0.0, -1.0],
+                inertia=np.zeros((3, 3)),
+            )
+        ],
+        name="rb_pendulum",
+    )
+    cf = pendulum(1.0, 1.0, dtype=jnp.float64)
+    for qv, vv, tv in [(0.3, 0.5, 1.0), (-1.2, 0.1, -2.0), (2.9, -0.7, 0.4)]:
+        q = jnp.asarray([qv])
+        v = jnp.asarray([vv])
+        tau = jnp.asarray([tv])
+        a_rb = rb.forward_dynamics(q, v, tau)
+        a_cf = cf.forward_dynamics(q, v, tau)
+        np.testing.assert_allclose(np.asarray(a_rb), np.asarray(a_cf), atol=1e-10)
+
+
+# ---- frames ----
+
+
+def test_frame_position_double_pendulum():
+    model = double_pendulum()
+    # hanging straight down: tip at z = −2
+    q = jnp.zeros(2)
+    p = model.frame_position(0, q)
+    np.testing.assert_allclose(np.asarray(p), [0.0, 0.0, -2.0], atol=1e-12)
+    # first link horizontal (+x), second straight: rotation about +y by π/2
+    # maps −z to... verify against trig directly
+    q = jnp.asarray([jnp.pi / 2, 0.0])
+    p = model.frame_position(0, q)
+    np.testing.assert_allclose(np.asarray(p), [-2.0, 0.0, 0.0], atol=1e-9)
+
+
+def test_frame_jacobian_vs_fd(model):
+    q = rand_q(model, jax.random.key(11))
+    J = model.frame_jacobian(0, q)
+    assert J.shape == (3, model.nv)
+    eps = 1e-7
+    for i in range(model.nv):
+        e = jnp.zeros(model.nv).at[i].set(eps)
+        dp = (model.frame_position(0, model.integrate(q, e)) - model.frame_position(0, q)) / eps
+        np.testing.assert_allclose(np.asarray(dp), np.asarray(J[:, i]), atol=1e-5)
+
+
+def test_vmap_and_jit_compatibility(model):
+    """All dynamics entry points vmap and jit (the TPU batching axis)."""
+    keys = jax.random.split(jax.random.key(0), 4)
+    qs = jnp.stack([rand_q(model, k) for k in keys])
+    vs = jnp.stack([rand_v(model, k) for k in keys])
+    taus = jnp.stack([rand_v(model, k, 2.0) for k in keys])
+    a = jax.jit(jax.vmap(model.forward_dynamics))(qs, vs, taus)
+    assert a.shape == (4, model.nv)
+    assert np.all(np.isfinite(np.asarray(a)))

@@ -1,0 +1,94 @@
+"""URDF loader tests: backend parity (native C++ scanner vs xml.etree) and
+model-construction semantics (fixed-joint merging, frames, floating base)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddp_tpu.models.robots import ur5
+from ddp_tpu.models.urdf import load_urdf
+
+MINI_URDF = """
+<robot name="mini">
+  <link name="world"/>
+  <joint name="j1" type="revolute">
+    <parent link="world"/><child link="l1"/>
+    <origin xyz="0 0 0.5" rpy="0 0 0"/><axis xyz="0 1 0"/>
+  </joint>
+  <link name="l1">
+    <inertial>
+      <mass value="2.0"/><origin xyz="0 0 -0.4"/>
+      <inertia ixx="0.03" iyy="0.03" izz="0.001"/>
+    </inertial>
+  </link>
+  <joint name="jf" type="fixed">
+    <parent link="l1"/><child link="tool"/>
+    <origin xyz="0 0 -0.8" rpy="0 0 0"/>
+  </joint>
+  <link name="tool">
+    <inertial><mass value="0.5"/><origin xyz="0 0 0"/>
+      <inertia ixx="1e-4" iyy="1e-4" izz="1e-4"/></inertial>
+  </link>
+</robot>
+"""
+
+
+def test_backend_parity_ur5():
+    """Native and Python parsers must build identical models."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "ddp_tpu", "models", "assets", "ur5.urdf",
+    )
+    m_py = load_urdf(path, backend="python")
+    m_nat = load_urdf(path, backend="native")
+    assert m_py.joint_types == m_nat.joint_types
+    assert m_py.parents == m_nat.parents
+    assert m_py.frame_names == m_nat.frame_names
+    np.testing.assert_allclose(np.asarray(m_py.inertias), np.asarray(m_nat.inertias), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(m_py.jp_rot), np.asarray(m_nat.jp_rot), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(m_py.jp_trans), np.asarray(m_nat.jp_trans), atol=1e-14)
+    q = m_py.neutral_configuration()
+    np.testing.assert_allclose(
+        np.asarray(m_py.mass_matrix(q)), np.asarray(m_nat.mass_matrix(q)), atol=1e-14
+    )
+
+
+def test_fixed_joint_merges_inertia_and_adds_frame():
+    m = load_urdf(MINI_URDF)
+    assert m.nb == 1
+    assert "tool" in m.frame_names
+    # merged mass = 2.0 + 0.5 at the m[5,5] block of the spatial inertia
+    mass = float(m.inertias[0, 5, 5])
+    assert abs(mass - 2.5) < 1e-12
+    # tool frame sits 0.8 below the joint, joint 0.5 above world
+    fid = m.frame_names.index("tool")
+    p = m.frame_position(fid, m.neutral_configuration())
+    np.testing.assert_allclose(np.asarray(p), [0.0, 0.0, -0.3], atol=1e-12)
+
+
+def test_floating_base_insertion():
+    m = load_urdf(MINI_URDF, root_joint="freeflyer")
+    assert m.joint_types[0] == "freeflyer"
+    assert m.nq == 7 + 1 and m.nv == 6 + 1
+    # world link's (empty) inertia lands on the floating base; dynamics with
+    # a zero-inertia base would be singular, so give it the merged chain —
+    # the base body has zero inertia here but children attach below it
+    q = m.neutral_configuration()
+    assert np.isfinite(np.asarray(m.mass_matrix(q))).all()
+
+
+def test_pendulum_urdf_matches_closed_form():
+    """The mini URDF is a gravity pendulum: point mass 2 kg at 0.4 m; its
+    dynamics must match a = (τ + m·g·l·sin... ) from first principles."""
+    m = load_urdf(MINI_URDF)
+    q = jnp.asarray([0.3])
+    v = jnp.asarray([0.0])
+    tau = jnp.asarray([0.0])
+    a = float(m.forward_dynamics(q, v, tau)[0])
+    # l1 inertia: m=2 at com z=-0.4 (I_com given) + tool 0.5 kg at z=-0.8
+    # pendulum about y-axis: I_total = Σ(I_com + m d²), torque = Σ m g d sin(q)
+    I_tot = 0.03 + 2.0 * 0.4**2 + 1e-4 + 0.5 * 0.8**2
+    torque_g = -(2.0 * 9.81 * 0.4 + 0.5 * 9.81 * 0.8) * np.sin(0.3)
+    np.testing.assert_allclose(a, torque_g / I_tot, rtol=1e-10)
