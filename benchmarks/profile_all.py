@@ -1,0 +1,175 @@
+"""Consolidated TPU profile: rigid-body primitives, arm solver stages, MPC
+replan latency, batched pendulum throughput.
+
+Run SOLO (no other TPU process — the tunnel serializes clients; see
+.claude/skills/verify/SKILL.md).  Appends one JSON line per metric to
+benchmarks/results.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
+
+
+def record(name, ms=None, **kw):
+    row = {"metric": name, "t": time.strftime("%Y-%m-%d %H:%M:%S"), **kw}
+    if ms is not None:
+        row["ms"] = round(ms, 4)
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def timed(fn, *args, n=20):
+    g = jax.jit(fn)
+    r = g(*args)
+    jax.block_until_ready(r)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        r = g(*args)
+        jax.block_until_ready(r)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def main():
+    from ddp_tpu.models import base
+    from ddp_tpu.models.robots import ur5
+    from ddp_tpu.models.pendulum import pendulum
+    from ddp_tpu.ocp import constraints, costs, dynamics
+    from ddp_tpu.ocp.problem import Problem
+    from ddp_tpu.solver import al as al_mod
+    from ddp_tpu.solver.batched import (
+        _backward_multi_reg,
+        _linesearch_sweep,
+        solve_batched,
+    )
+    from ddp_tpu.solver.mpc import init_carry, make_mpc_step
+    from ddp_tpu.solver.solve import SolverParams
+
+    dtype = jnp.float32
+
+    # --- rigid-body primitives -------------------------------------------
+    arm = ur5(dtype=dtype)
+    q = arm.neutral_configuration()
+    v = jnp.zeros(6, dtype)
+    tau = jnp.zeros(6, dtype)
+    record("ur5_fd_single", timed(arm.forward_dynamics, q, v, tau))
+    record("ur5_mass_matrix", timed(arm.mass_matrix, q))
+    record("ur5_rnea", timed(arm.rnea, q, v, tau))
+    qs = jnp.tile(q, (1024, 1))
+    vs = jnp.zeros((1024, 6), dtype)
+    ts_ = jnp.zeros((1024, 6), dtype)
+    ms = timed(jax.vmap(arm.forward_dynamics), qs, vs, ts_)
+    record("ur5_fd_b1024", ms, per_call_us=round(ms * 1e3 / 1024, 3))
+
+    # --- arm solver stages (H=16, B=1) -----------------------------------
+    H = 16
+    dyn = dynamics.euler(arm, 0.01)
+    q_t = arm.integrate(q, 0.05 * jnp.ones(6, dtype))
+    con = constraints.advance_time(
+        constraints.ConfigTarget(model=arm, target=q_t, active_ts=(H,)), dyn, times=2
+    )
+    prob = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=H,
+        second_order=False,
+    )
+    x0 = base.state_pack(q, jnp.zeros(6, dtype))
+    us = jnp.zeros((H, 6), dtype)
+    xs = prob.rollout(x0, us)
+    mults = al_mod.init_multipliers(prob, xs)
+    mu = jnp.asarray(1e4, dtype)
+    reg = jnp.asarray(0.0, dtype)
+    record("arm_rollout_T16", timed(prob.rollout, x0, us))
+    derivs = jax.jit(prob.derivatives)(xs, us)
+    jax.block_until_ready(derivs.fx)
+    record("arm_derivs_T16", timed(prob.derivatives, xs, us))
+    record(
+        "arm_backward_T16",
+        timed(lambda d: _backward_multi_reg(d, mults.val, mults.jac, mu, reg), derivs),
+    )
+    k, K, _, _ = _backward_multi_reg(derivs, mults.val, mults.jac, mu, reg)
+    record(
+        "arm_linesearch8_T16",
+        timed(lambda xs_: _linesearch_sweep(prob, xs_, us, k, K, mults, mu, 8), xs),
+    )
+
+    # --- MPC replan latency ----------------------------------------------
+    params = SolverParams(max_iterations=3, threshold=1e-4, mu=1e4)
+    step = make_mpc_step(prob, params, unroll=1)
+    carry = init_carry(prob, dtype=dtype)
+    out = step(x0, carry)
+    jax.block_until_ready(out.u0)
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        out = step(x0, out.carry)
+        jax.block_until_ready(out.u0)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat) * 1e3
+    record(
+        "ur5_mpc_replan",
+        float(np.percentile(lat, 50)),
+        p99_ms=round(float(np.percentile(lat, 99)), 3),
+        iters=3,
+        horizon=H,
+    )
+
+    # --- batched pendulum throughput -------------------------------------
+    B, HP = 4096, 32
+    pend = pendulum(1.0, 1.0, dtype=dtype)
+    pdyn = dynamics.euler(pend, 0.01)
+    pcon = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=pend, target=jnp.asarray([3.14], dtype=dtype), active_ts=(HP,)
+        ),
+        pdyn,
+        times=2,
+    )
+    pprob = Problem(
+        dynamics=pdyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=pcon,
+        horizon=HP,
+        second_order=True,
+    )
+    pparams = SolverParams(max_iterations=10, threshold=1e-5, mu=1e4)
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(
+        np.stack([rng.uniform(-np.pi, np.pi, B), np.zeros(B)], axis=1), dtype
+    )
+    fn = jax.jit(lambda x: solve_batched(pprob, pparams, x))
+    r = fn(x0s)
+    jax.block_until_ready(r.us)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r = fn(x0s)
+        jax.block_until_ready(r.us)
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    record("pendulum_batch4096_throughput", dt * 1e3, solves_per_s=round(B / dt, 1))
+
+
+if __name__ == "__main__":
+    main()

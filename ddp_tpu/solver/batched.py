@@ -48,7 +48,7 @@ class BatchSolveResult(NamedTuple):
     mu: jax.Array  # [B]
 
 
-def _backward_multi_reg(derivs, mult_val, mult_jac, mu, reg, n_levels=4):
+def _backward_multi_reg(derivs, mult_val, mult_jac, mu, reg, n_levels=4, unroll=1):
     """Static-control-flow analog of the reference's Cholesky-retry loop
     (ddp_bwd.ipp:26, 105-132): run the sweep at several regularization levels
     in parallel — [reg, 2·max(reg,μ), 32·max(reg,μ), …] — and keep the
@@ -58,15 +58,15 @@ def _backward_multi_reg(derivs, mult_val, mult_jac, mu, reg, n_levels=4):
     dtype = derivs.lx.dtype
     scales = 16.0 ** jnp.arange(n_levels - 1, dtype=dtype)
     levels = jnp.concatenate([reg[None], base * scales])
-    ks, Ks, oks = jax.vmap(lambda r: _backward_sweep(derivs, mult_val, mult_jac, mu, r))(
-        levels
-    )
+    ks, Ks, oks = jax.vmap(
+        lambda r: _backward_sweep(derivs, mult_val, mult_jac, mu, r, unroll=unroll)
+    )(levels)
     idx = jnp.argmax(oks)  # first (smallest-reg) successful level
     any_ok = jnp.any(oks)
     return ks[idx], Ks[idx], any_ok, levels[idx]
 
 
-def _backward_sweep(derivs, mult_val, mult_jac, mu, reg):
+def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
     """One Riccati sweep (no retry loop): returns (k, K, ok)."""
     nu = derivs.lu.shape[1]
     dtype = derivs.lx.dtype
@@ -110,11 +110,13 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg):
         Vxx_new = Qxx + Qux.T @ K
         return (Vx_new, Vxx_new), (k, K, ok_t)
 
-    _, (ks, Ks, oks) = jax.lax.scan(step, (derivs.lfx, derivs.lfxx), inputs, reverse=True)
+    _, (ks, Ks, oks) = jax.lax.scan(
+        step, (derivs.lfx, derivs.lfxx), inputs, reverse=True, unroll=unroll
+    )
     return ks, Ks, jnp.all(oks)
 
 
-def _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_candidates):
+def _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_candidates, unroll=1):
     """Parallel line-search: rollout all candidate steps, pick the largest
     accepted one; keep the incumbent trajectory when none is accepted."""
     dtype = xs.dtype
@@ -122,7 +124,7 @@ def _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_candidates):
     cost_old = jnp.sum(al_mod.al_costs(problem, xs, us, mults, mu))
 
     def rollout_at(step):
-        xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step)
+        xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step, unroll=unroll)
         cost = jnp.sum(al_mod.al_costs(problem, xs_c, us_c, mults, mu))
         return xs_c, us_c, cost
 
@@ -144,6 +146,7 @@ def solve_batched(
     us_init: jax.Array | None = None,  # [B, T, nu]
     method: Method = Method.PRIMAL_DUAL_AFFINE,
     n_linesearch: int = 8,
+    unroll: int = 1,
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
@@ -172,8 +175,8 @@ def solve_batched(
 
         # pre-loop backward/forward (≙ solve(): ddp.hpp:768-773)
         derivs = problem.derivatives(xs, us)
-        k, K, ok, reg_u = _backward_multi_reg(derivs, mults.val, mults.jac, mu, reg)
-        xs1, us1, step = _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_linesearch)
+        k, K, ok, reg_u = _backward_multi_reg(derivs, mults.val, mults.jac, mu, reg, unroll=unroll)
+        xs1, us1, step = _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_linesearch, unroll=unroll)
         ok_f = jnp.isfinite(
             jnp.sum(us1)
         )  # guard: failed cholesky poisons the candidate rollouts
@@ -240,10 +243,10 @@ def solve_batched(
             w_new = jnp.where(upd_s, c.w / c.mu, c.w)
 
             k, K, ok, reg_u = _backward_multi_reg(
-                derivs, mults.val, mults.jac, mu_new, c.reg
+                derivs, mults.val, mults.jac, mu_new, c.reg, unroll=unroll
             )
             xs1, us1, step = _linesearch_sweep(
-                problem, c.xs, c.us, k, K, mults, mu_new, n_linesearch
+                problem, c.xs, c.us, k, K, mults, mu_new, n_linesearch, unroll=unroll
             )
             ok = jnp.logical_and(ok, jnp.isfinite(jnp.sum(us1)))
             # carry the reg level that factorized; relax on a full accepted
@@ -299,7 +302,13 @@ def solve_batched(
             oo_prev=jnp.asarray(jnp.inf, dtype),
             just_changed=jnp.asarray(True),
         )
-        final, _ = jax.lax.scan(iteration, init, None, length=params.max_iterations)
+        final, _ = jax.lax.scan(
+            iteration,
+            init,
+            None,
+            length=params.max_iterations,
+            unroll=min(unroll, params.max_iterations),
+        )
 
         derivs = problem.derivatives(final.xs, final.us)
         mults = al_mod.update_origin(model, final.mults, final.xs)

@@ -35,7 +35,9 @@ class MPCStep(NamedTuple):
     opt_constr: jax.Array
 
 
-def make_mpc_step(problem, params: SolverParams, method=Method.PRIMAL_DUAL_AFFINE):
+def make_mpc_step(
+    problem, params: SolverParams, method=Method.PRIMAL_DUAL_AFFINE, unroll: int = 4
+):
     """Build the jitted replan function: (x_measured, carry) → MPCStep.
 
     Uses the static-control-flow batched solver internals on a single
@@ -45,7 +47,12 @@ def make_mpc_step(problem, params: SolverParams, method=Method.PRIMAL_DUAL_AFFIN
 
     def step(x_measured: jax.Array, carry: MPCCarry) -> MPCStep:
         res = solve_batched(
-            problem, params, x_measured[None], us_init=carry.us_warm[None], method=method
+            problem,
+            params,
+            x_measured[None],
+            us_init=carry.us_warm[None],
+            method=method,
+            unroll=unroll,
         )
         us = res.us[0]
         # shift warm start: drop u_0, repeat the tail control

@@ -26,8 +26,12 @@ class ForwardResult(NamedTuple):
     accepted: jax.Array  # bool
 
 
-def feedback_rollout(problem, xs_old, us_old, k, K, step):
-    """One closed-loop rollout at a given step length (ddp_fwd.ipp:39-51)."""
+def feedback_rollout(problem, xs_old, us_old, k, K, step, unroll: int = 1):
+    """One closed-loop rollout at a given step length (ddp_fwd.ipp:39-51).
+
+    ``unroll`` > 1 trades compile time for fewer while-loop iterations —
+    important for small-horizon MPC latency where per-scan-step dispatch
+    overhead dominates tiny-model compute."""
     model = problem.model
     ts = jnp.arange(problem.horizon)
 
@@ -38,7 +42,9 @@ def feedback_rollout(problem, xs_old, us_old, k, K, step):
         x_next = problem.dynamics(t, x, u)
         return x_next, (u, x_next)
 
-    _, (us, xs_next) = jax.lax.scan(body, xs_old[0], (ts, xs_old[:-1], us_old, k, K))
+    _, (us, xs_next) = jax.lax.scan(
+        body, xs_old[0], (ts, xs_old[:-1], us_old, k, K), unroll=unroll
+    )
     xs = jnp.concatenate([xs_old[0][None], xs_next], axis=0)
     return xs, us
 

@@ -212,3 +212,20 @@ def test_vmap_and_jit_compatibility(model):
     a = jax.jit(jax.vmap(model.forward_dynamics))(qs, vs, taus)
     assert a.shape == (4, model.nv)
     assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_world_frame_matches_chain_implementations(model):
+    """The vectorized world-frame dynamics must agree with the chain-
+    recursive textbook implementations on the all-joints model."""
+    k1, k2, k3 = jax.random.split(jax.random.key(21), 3)
+    q = rand_q(model, k1)
+    v = rand_v(model, k2)
+    a = rand_v(model, k3, scale=2.0)
+    np.testing.assert_allclose(
+        np.asarray(model.rnea(q, v, a)), np.asarray(model.rnea_chain(q, v, a)), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.mass_matrix(q)),
+        np.asarray(model.mass_matrix_chain(q)),
+        atol=1e-9,
+    )
