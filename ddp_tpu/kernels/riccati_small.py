@@ -1,0 +1,306 @@
+"""Pallas TPU kernel: batched small-dimension Riccati backward sweep.
+
+The hot op of the batched pendulum-class workload (BASELINE north star:
+"the per-timestep Riccati backward recursion … written as Pallas kernels
+over batched matrix sequences").  XLA's vmapped scan dispatches ~T separate
+fused kernels per sweep with [B, n, m] layouts whose tiny trailing dims
+waste lanes; this kernel instead:
+
+- lays the batch on the TPU lane axis: every stacked array is [T, n*m, B]
+  (B = multiple of 128), so each tiny-matrix element is one [B]-vector VPU op
+- runs the whole reverse time loop INSIDE one kernel (fori_loop), carrying
+  (Vx, Vxx) in VMEM scratch — one kernel launch per sweep instead of T
+- unrolls the n/m/e index algebra in Python at trace time (static small
+  dims), including an unrolled Cholesky–Banachiewicz factorization and
+  triangular solves for Quu
+
+Gauss-Newton form (no dynamics Hessians) with AL multiplier terms — the
+throughput path's math (solver/batched.py::_backward_sweep with
+fxx=fux=fuu=0).  Exactness vs the XLA path is pinned by tests.
+
+Grid: one program per B-block (block size 128×k).  All [T, ·, B] inputs are
+sliced to the program's B-block via BlockSpecs; the T loop is internal.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _chol_solve_unrolled(A, rhs_list, m, reg):
+    """Factor A (+reg·I) ∈ sym[m,m] given as nested [B]-vector lists and
+    solve for each rhs in rhs_list (each a length-m list of [B]-vectors).
+
+    Unrolled Cholesky–Banachiewicz + forward/back substitution; every
+    statement is one VPU op over the batch lane vector."""
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = A[i][j] + (reg if i == j else 0.0)
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    outs = []
+    for rhs in rhs_list:
+        # forward: L y = rhs
+        y = [None] * m
+        for i in range(m):
+            s = rhs[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        # backward: Lᵀ x = y
+        x = [None] * m
+        for i in reversed(range(m)):
+            s = y[i]
+            for k in range(i + 1, m):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        outs.append(x)
+    return outs, L
+
+
+def _bwd_kernel(
+    # refs: [T, n*m, Bblk] stacked derivative blocks (see caller ordering)
+    lx_ref, lu_ref, lxx_ref, lux_ref, luu_ref,
+    fx_ref, fu_ref,
+    eq_ref, eqx_ref, equ_ref, pe_ref, pex_ref,
+    mu_ref, reg_ref, lfx_ref, lfxx_ref,
+    k_out, K_out, ok_out,
+    Vx_s, Vxx_s,
+    *, T, n, m, e,
+):  # fmt: skip
+    mu = mu_ref[0, :]
+    reg = reg_ref[0, :]
+
+    # terminal V into scratch
+    for i in range(n):
+        Vx_s[i, :] = lfx_ref[i, :]
+        for j in range(n):
+            Vxx_s[i * n + j, :] = lfxx_ref[i * n + j, :]
+
+    def at(ref, t, idx):
+        return ref[t, idx, :]
+
+    def body(step, ok):
+        t = T - 1 - step
+        # load blocks as nested lists of [B] vectors
+        lx = [at(lx_ref, t, i) for i in range(n)]
+        lu = [at(lu_ref, t, i) for i in range(m)]
+        lxx = [[at(lxx_ref, t, i * n + j) for j in range(n)] for i in range(n)]
+        lux = [[at(lux_ref, t, i * n + j) for j in range(n)] for i in range(m)]
+        luu = [[at(luu_ref, t, i * m + j) for j in range(m)] for i in range(m)]
+        fx = [[at(fx_ref, t, i * n + j) for j in range(n)] for i in range(n)]
+        fu = [[at(fu_ref, t, i * m + j) for j in range(m)] for i in range(n)]
+        eq = [at(eq_ref, t, i) for i in range(e)]
+        eqx = [[at(eqx_ref, t, i * n + j) for j in range(n)] for i in range(e)]
+        equ = [[at(equ_ref, t, i * m + j) for j in range(m)] for i in range(e)]
+        pe = [at(pe_ref, t, i) for i in range(e)]
+        pex = [[at(pex_ref, t, i * n + j) for j in range(n)] for i in range(e)]
+        Vx = [Vx_s[i, :] for i in range(n)]
+        Vxx = [[Vxx_s[i * n + j, :] for j in range(n)] for i in range(n)]
+
+        tmp = [pe[a] + mu * eq[a] for a in range(e)]
+        tmp2 = [[pex[a][j] + mu * eqx[a][j] for j in range(n)] for a in range(e)]
+
+        # Qx = lx + fxᵀVx + eqxᵀtmp + pexᵀeq
+        Qx = []
+        for i in range(n):
+            s = lx[i]
+            for o in range(n):
+                s = s + fx[o][i] * Vx[o]
+            for a in range(e):
+                s = s + eqx[a][i] * tmp[a] + pex[a][i] * eq[a]
+            Qx.append(s)
+        # Qu = lu + fuᵀVx + equᵀtmp
+        Qu = []
+        for i in range(m):
+            s = lu[i]
+            for o in range(n):
+                s = s + fu[o][i] * Vx[o]
+            for a in range(e):
+                s = s + equ[a][i] * tmp[a]
+            Qu.append(s)
+        # Vxx·fx cache: (Vxx @ fx)[o][j]
+        Vfx = [[None] * n for _ in range(n)]
+        for o in range(n):
+            for j in range(n):
+                s = Vxx[o][0] * fx[0][j]
+                for r in range(1, n):
+                    s = s + Vxx[o][r] * fx[r][j]
+                Vfx[o][j] = s
+        Vfu = [[None] * m for _ in range(n)]
+        for o in range(n):
+            for j in range(m):
+                s = Vxx[o][0] * fu[0][j]
+                for r in range(1, n):
+                    s = s + Vxx[o][r] * fu[r][j]
+                Vfu[o][j] = s
+        # Qxx = lxx + fxᵀ(Vxx fx) + eqxᵀtmp2 + pexᵀeqx
+        Qxx = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                s = lxx[i][j]
+                for o in range(n):
+                    s = s + fx[o][i] * Vfx[o][j]
+                for a in range(e):
+                    s = s + eqx[a][i] * tmp2[a][j] + pex[a][i] * eqx[a][j]
+                Qxx[i][j] = s
+        # Quu = luu + fuᵀ(Vxx fu) + μ·equᵀequ
+        Quu = [[None] * m for _ in range(m)]
+        for i in range(m):
+            for j in range(m):
+                s = luu[i][j]
+                for o in range(n):
+                    s = s + fu[o][i] * Vfu[o][j]
+                for a in range(e):
+                    s = s + mu * equ[a][i] * equ[a][j]
+                Quu[i][j] = s
+        # Qux = lux + fuᵀ(Vxx fx) + equᵀtmp2
+        Qux = [[None] * n for _ in range(m)]
+        for i in range(m):
+            for j in range(n):
+                s = lux[i][j]
+                for o in range(n):
+                    s = s + fu[o][i] * Vfx[o][j]
+                for a in range(e):
+                    s = s + equ[a][i] * tmp2[a][j]
+                Qux[i][j] = s
+
+        # factor Quu + reg·I, solve for k and K columns
+        rhss = [Qu] + [[Qux[i][j] for i in range(m)] for j in range(n)]
+        sols, L = _chol_solve_unrolled(Quu, rhss, m, reg)
+        k_sol = sols[0]
+        K_cols = sols[1:]  # K_cols[j][i] = (Quu⁻¹Qux)[i][j]
+
+        ok_t = L[0][0] > 0.0
+        for i in range(m):
+            ok_t = jnp.logical_and(ok_t, L[i][i] > 0.0)
+            ok_t = jnp.logical_and(ok_t, jnp.isfinite(L[i][i]))
+
+        for i in range(m):
+            k_out[t, i, :] = -k_sol[i]
+            for j in range(n):
+                K_out[t, i * n + j, :] = -K_cols[j][i]
+
+        # V updates: Vx' = Qx − Quxᵀ(Quu⁻¹Qu); Vxx' = Qxx − Quxᵀ(Quu⁻¹Qux)
+        for i in range(n):
+            s = Qx[i]
+            for o in range(m):
+                s = s - Qux[o][i] * k_sol[o]
+            Vx_s[i, :] = s
+        for i in range(n):
+            for j in range(n):
+                s = Qxx[i][j]
+                for o in range(m):
+                    s = s - Qux[o][i] * K_cols[j][o]
+                Vxx_s[i * n + j, :] = s
+
+        return jnp.logical_and(ok, jnp.all(ok_t))
+
+    ok = jax.lax.fori_loop(0, T, body, jnp.asarray(True))
+    ok_out[0, :] = jnp.where(ok, jnp.ones_like(ok_out[0, :]), jnp.zeros_like(ok_out[0, :]))
+
+
+def backward_sweep_pallas(
+    derivs_bl: dict,
+    mu: jax.Array,  # [B]
+    reg: jax.Array,  # [B]
+    *,
+    T: int,
+    n: int,
+    m: int,
+    e: int,
+    block_b: int = 512,
+    interpret: bool = False,
+):
+    """Run the batched backward sweep with batch-on-lanes layout.
+
+    ``derivs_bl`` maps names → arrays shaped [T, rows, B] (matrices
+    flattened row-major into the middle axis):
+      lx [T,n,B], lu [T,m,B], lxx [T,n*n,B], lux [T,m*n,B], luu [T,m*m,B],
+      fx [T,n*n,B], fu [T,n*m,B], eq [T,e,B], eqx [T,e*n,B], equ [T,e*m,B],
+      pe [T,e,B], pex [T,e*n,B], lfx [n,B], lfxx [n*n,B].
+
+    Returns (k [T,m,B], K [T,m*n,B], ok [B]).
+    """
+    B = derivs_bl["lx"].shape[-1]
+    assert B % block_b == 0, (B, block_b)
+    dtype = derivs_bl["lx"].dtype
+    grid = (B // block_b,)
+
+    def bs(rows, with_t=True):
+        if with_t:
+            return pl.BlockSpec(
+                (T, rows, block_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec((rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bs(n), bs(m), bs(n * n), bs(m * n), bs(m * m),
+        bs(n * n), bs(n * m),
+        bs(e), bs(e * n), bs(e * m), bs(e), bs(e * n),
+        bs(1, with_t=False), bs(1, with_t=False),
+        bs(n, with_t=False), bs(n * n, with_t=False),
+    ]  # fmt: skip
+    out_specs = (bs(m), bs(m * n), bs(1, with_t=False))
+    out_shape = (
+        jax.ShapeDtypeStruct((T, m, B), dtype),
+        jax.ShapeDtypeStruct((T, m * n, B), dtype),
+        jax.ShapeDtypeStruct((1, B), dtype),
+    )
+
+    kernel = functools.partial(_bwd_kernel, T=T, n=n, m=m, e=e)
+    k, K, ok = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n, block_b), dtype),
+            pltpu.VMEM((n * n, block_b), dtype),
+        ],
+        interpret=interpret,
+    )(
+        derivs_bl["lx"], derivs_bl["lu"], derivs_bl["lxx"], derivs_bl["lux"],
+        derivs_bl["luu"], derivs_bl["fx"], derivs_bl["fu"],
+        derivs_bl["eq"], derivs_bl["eqx"], derivs_bl["equ"],
+        derivs_bl["pe"], derivs_bl["pex"],
+        mu[None, :], reg[None, :], derivs_bl["lfx"], derivs_bl["lfxx"],
+    )  # fmt: skip
+    return k, K, ok[0] > 0.5
+
+
+def pack_batch_last(derivs, mult_val, mult_jac):
+    """[B, T, …] solver-layout Derivs → the kernel's [T, rows, B] dict."""
+
+    def mv(x, rows):
+        # [B, T, ...] → [T, rows, B]
+        b = x.shape[0]
+        t = x.shape[1]
+        return jnp.transpose(x.reshape(b, t, rows), (1, 2, 0))
+
+    def mv_const(x, rows):
+        # [B, ...] → [rows, B]
+        return jnp.transpose(x.reshape(x.shape[0], rows), (1, 0))
+
+    n = derivs.lx.shape[-1]
+    m = derivs.lu.shape[-1]
+    e = derivs.eq.shape[-1]
+    return dict(
+        lx=mv(derivs.lx, n), lu=mv(derivs.lu, m),
+        lxx=mv(derivs.lxx, n * n), lux=mv(derivs.lux, m * n), luu=mv(derivs.luu, m * m),
+        fx=mv(derivs.fx, n * n), fu=mv(derivs.fu, n * m),
+        eq=mv(derivs.eq, e), eqx=mv(derivs.eqx, e * n), equ=mv(derivs.equ, e * m),
+        pe=mv(mult_val, e), pex=mv(mult_jac, e * n),
+        lfx=mv_const(derivs.lfx, n), lfxx=mv_const(derivs.lfxx, n * n),
+    )  # fmt: skip
