@@ -49,12 +49,14 @@ def main() -> None:
         dyn,
         times=2,
     )
+    # BASELINE configs[1] is "batched pendulum iLQR": Gauss-Newton mode
+    # (no dynamics Hessians), which is also the faster TPU path
     problem = Problem(
         dynamics=dyn,
         cost=costs.quad_control(1.0, dtype=dtype),
         constraint=con,
         horizon=HORIZON,
-        second_order=True,
+        second_order=False,
     )
     params = SolverParams(max_iterations=ITERS, threshold=1e-5, mu=1e4)
 

@@ -101,6 +101,35 @@ class FrameTarget:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class TrajectoryConfigTarget:
+    """eq = q_target[t] ⊖ q — track a per-timestep configuration reference.
+
+    The reference's constraint-target view is indexed by t
+    (problem.hpp:680, :793 — ``m_constraint_target_view[t]``); this is the
+    dense-array equivalent with a gather, for tracking-MPC workloads.
+    ``targets``: [T_pad, nq] with T_pad ≥ max active t + 1.
+    """
+
+    model: object
+    targets: jax.Array  # [T_pad, nq]
+    active_ts: tuple = dataclasses.field(default=(), metadata={"static": True})
+
+    @property
+    def ne(self) -> int:
+        return self.model.nv
+
+    def value(self, t, x, u):
+        del u
+        q, _ = state_split(self.model, x)
+        tgt = self.targets[jnp.clip(t, 0, self.targets.shape[0] - 1)]
+        return self.model.difference(tgt, q)
+
+    def active(self, t: int) -> bool:
+        return t in self.active_ts
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class AdvanceTime:
     """Apply ``inner`` one step ahead through the dynamics.
 

@@ -147,6 +147,10 @@ def solve_batched(
     method: Method = Method.PRIMAL_DUAL_AFFINE,
     n_linesearch: int = 8,
     unroll: int = 1,
+    backward: str = "sweep",  # "sweep" (sequential multi-reg) | "assoc"
+    # "assoc": associative-scan Riccati (O(log T) depth; Gauss-Newton only —
+    # requires problem.second_order=False). Regularization is folded into
+    # the stage cost; factorization failure falls back to reg escalation.
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
@@ -173,9 +177,17 @@ def solve_batched(
         def constrain_jac(jac):
             return jac if affine else jnp.zeros_like(jac)
 
+        def run_backward(derivs, mv, mj, mu_, reg_):
+            if backward == "assoc":
+                from ddp_tpu.solver.parallel_riccati import backward_pass_assoc
+
+                k_, K_, ok_ = backward_pass_assoc(derivs, mv, mj, mu_, reg_)
+                return k_, K_, ok_, reg_
+            return _backward_multi_reg(derivs, mv, mj, mu_, reg_, unroll=unroll)
+
         # pre-loop backward/forward (≙ solve(): ddp.hpp:768-773)
         derivs = problem.derivatives(xs, us)
-        k, K, ok, reg_u = _backward_multi_reg(derivs, mults.val, mults.jac, mu, reg, unroll=unroll)
+        k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu, reg)
         xs1, us1, step = _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_linesearch, unroll=unroll)
         ok_f = jnp.isfinite(
             jnp.sum(us1)
@@ -242,9 +254,7 @@ def solve_batched(
             )
             w_new = jnp.where(upd_s, c.w / c.mu, c.w)
 
-            k, K, ok, reg_u = _backward_multi_reg(
-                derivs, mults.val, mults.jac, mu_new, c.reg, unroll=unroll
-            )
+            k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu_new, c.reg)
             xs1, us1, step = _linesearch_sweep(
                 problem, c.xs, c.us, k, K, mults, mu_new, n_linesearch, unroll=unroll
             )

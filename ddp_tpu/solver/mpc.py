@@ -73,6 +73,43 @@ def init_carry(problem, dtype=None) -> MPCCarry:
     return MPCCarry(us_warm=jnp.zeros((problem.horizon, problem.nu), dtype=dtype))
 
 
+def make_batch_mpc_step(
+    problem,
+    params: SolverParams,
+    mesh,
+    method=Method.PRIMAL_DUAL_AFFINE,
+    unroll: int = 1,
+):
+    """Fleet MPC: replan a batch of scenarios sharded over a device mesh.
+
+    BASELINE configs[5]: "multi-host receding-horizon MPC: 32k scenarios
+    across N hosts, 10 ms replan budget".  Returns a jitted
+    fn(x_measured [B, nx], us_warm [B, T, nu]) → (u0 [B, nu], us_warm',
+    mean_constr) with the batch axis sharded and the convergence aggregate
+    psum-reduced over the mesh.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def shard_fn(x, us_warm):
+        res = solve_batched(
+            problem, params, x, us_init=us_warm, method=method, unroll=unroll
+        )
+        us_next = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
+        n_total = jax.lax.psum(x.shape[0], "batch")
+        mean_constr = jax.lax.psum(jnp.sum(res.opt_constr), "batch") / n_total
+        return res.us[:, 0], us_next, mean_constr
+
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("batch"), P("batch")),
+        out_specs=(P("batch"), P("batch"), P()),
+        check_vma=False,
+    )
+    x_shard = NamedSharding(mesh, P("batch"))
+    return jax.jit(shard, in_shardings=(x_shard, x_shard))
+
+
 def run_mpc(
     problem,
     params: SolverParams,

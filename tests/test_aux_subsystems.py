@@ -122,3 +122,44 @@ def test_mesh_sharded_batch_solve():
     assert us.shape == (16, 20, 1)
     assert np.isfinite(np.asarray(us)).all()
     assert np.isfinite(float(stats["mean_constr"]))
+
+
+def test_batch_mpc_step_on_mesh():
+    """Fleet MPC: batched replanning sharded over the 8-device mesh
+    (BASELINE configs[5] code path on virtual devices)."""
+    from ddp_tpu.parallel.mesh import make_batch_mesh
+    from ddp_tpu.solver.mpc import make_batch_mpc_step
+
+    problem = make_problem(dtype=jnp.float64, horizon=20)
+    params = SolverParams(max_iterations=3, threshold=1e-6, mu=1e5)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_batch_mesh(8)
+    step = make_batch_mpc_step(problem, params, mesh)
+    B = 16
+    sh = NamedSharding(mesh, P("batch"))
+    x = jax.device_put(jnp.zeros((B, 2)), sh)
+    us_warm = jax.device_put(jnp.zeros((B, 20, 1)), sh)
+    for _ in range(5):
+        u0, us_warm, mean_c = step(x, us_warm)
+        x = jax.vmap(lambda xx, uu: problem.dynamics(0, xx, uu))(x, u0)
+    assert u0.shape == (B, 1)
+    assert np.isfinite(np.asarray(x)).all()
+    assert np.isfinite(float(mean_c))
+
+
+def test_trajectory_config_target():
+    """Per-timestep target gather (the reference's target-view-by-t idiom)."""
+    from ddp_tpu.models.pendulum import pendulum
+    from ddp_tpu.ocp.constraints import TrajectoryConfigTarget
+
+    model = pendulum(dtype=jnp.float64)
+    T = 10
+    targets = jnp.linspace(0.0, 1.0, T + 1)[:, None]
+    con = TrajectoryConfigTarget(
+        model=model, targets=targets, active_ts=tuple(range(0, T, 2))
+    )
+    x = jnp.asarray([0.25, 0.0])
+    v = con.value(5, x, jnp.zeros(1))
+    np.testing.assert_allclose(float(v[0]), 0.25 - 0.5, atol=1e-12)
+    assert con.active(2) and not con.active(3)

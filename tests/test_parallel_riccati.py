@@ -80,3 +80,41 @@ def test_assoc_long_horizon_finite():
     )
     assert bool(ok)
     assert np.isfinite(np.asarray(k)).all() and np.isfinite(np.asarray(K)).all()
+
+
+def test_solve_batched_with_assoc_backward():
+    """Full batched solve using the associative-scan backward pass on a
+    long horizon matches the sequential-sweep path."""
+    from ddp_tpu.solver.batched import solve_batched
+    from ddp_tpu.solver.solve import SolverParams
+
+    H = 256
+    dtype = jnp.float64
+    model = pendulum(1.0, 1.0, dtype=dtype)
+    dyn = dynamics.euler(model, 0.01)
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=model, target=jnp.asarray([3.14], dtype=dtype), active_ts=(H,)
+        ),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=H,
+        second_order=False,
+    )
+    params = SolverParams(max_iterations=30, threshold=1e-9, mu=1e8)
+    x0s = jnp.stack([jnp.array([0.0, 0.0]), jnp.array([0.2, 0.0])])
+
+    res_a = jax.jit(lambda x: solve_batched(problem, params, x, backward="assoc"))(x0s)
+    res_s = jax.jit(lambda x: solve_batched(problem, params, x, backward="sweep"))(x0s)
+
+    np.testing.assert_allclose(np.asarray(res_a.xs[:, -1, 0]), 3.14, atol=1e-5)
+    assert float(jnp.max(res_a.opt_constr)) < 1e-6
+    # same optimum as the sequential path
+    np.testing.assert_allclose(
+        np.asarray(res_a.us), np.asarray(res_s.us), rtol=1e-5, atol=1e-6
+    )

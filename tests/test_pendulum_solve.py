@@ -93,3 +93,35 @@ def test_constraint_satisfied_exactly_at_optimum():
     # masked constraint residual along the final trajectory
     eq = problem.eq_all(result.xs, result.us)
     assert float(jnp.max(jnp.abs(eq))) < 1e-6
+
+
+def test_stacked_and_trajectory_constraints():
+    """StackConstraints (row-concat analog) + TrajectoryConfigTarget with a
+    periodic schedule solve end-to-end."""
+    from ddp_tpu.ocp.constraints import StackConstraints, TrajectoryConfigTarget
+
+    H = 60
+    dtype = jnp.float64
+    model = pendulum(1.0, 1.0, dtype=dtype)
+    dyn = dynamics.euler(model, DT)
+    # waypoint tracking: pass through q=0.8 at t=30, q=1.5 at t=60 (via the
+    # same double time-advance as the terminal constraint)
+    targets = jnp.zeros((H + 1, 1), dtype).at[30].set(0.8).at[H].set(1.5)
+    track = constraints.advance_time(
+        TrajectoryConfigTarget(model=model, targets=targets, active_ts=(30, H)),
+        dyn,
+        times=2,
+    )
+    con = StackConstraints(parts=(track,))
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=H,
+    )
+    params = SolverParams(max_iterations=50, threshold=1e-8, mu=1e8)
+    res = solve(problem, params, jnp.zeros(2, dtype))
+    assert float(res.stats.opt_constr) < 1e-6
+    # waypoints hit: q at t=30 and t=60
+    assert abs(float(res.xs[30, 0]) - 0.8) < 1e-5
+    assert abs(float(res.xs[H, 0]) - 1.5) < 1e-5
