@@ -54,6 +54,25 @@ def state_difference(model, x0: jax.Array, x1: jax.Array) -> jax.Array:
     return jnp.concatenate([model.difference(q0, q1), v1 - v0], axis=-1)
 
 
+def state_transport(model, v: jax.Array, x_from: jax.Array, x_to: jax.Array) -> jax.Array:
+    """Parallel-transport a tangent vector from T_{x_from} to T_{x_to}.
+
+    The reference *declares* this surface but never implements it
+    (``d_integrate_transport_dq/dv``, pinocchio_model.hpp:113-139 — no
+    definition anywhere, SURVEY.md §2 #14).  Here it falls out of autodiff:
+    transport is the differential of the chart change
+    e ↦ (x_to ⊕ ·) ∘ (x_from ⊕ ·) evaluated at the connecting geodesic,
+    approximated to first order by J = d(x1 ⊖ x0 ⊕ e)/de, i.e. the
+    difference Jacobian between the two base points.
+    """
+    J = jax.jacfwd(
+        lambda e: state_difference(
+            model, x_to, state_integrate(model, x_from, e)
+        )
+    )(jnp.zeros_like(v))
+    return J @ v
+
+
 def state_difference_jacobian(model, x0: jax.Array, x1: jax.Array) -> jax.Array:
     """d(x1 ⊖ x0)/d x1 expressed in tangent coordinates at x1: the [2nv, 2nv]
     matrix J with (x1 ⊕ e) ⊖ x0 ≈ (x1 ⊖ x0) + J e.

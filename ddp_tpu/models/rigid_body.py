@@ -567,8 +567,13 @@ class RobotModel:
         M = jnp.einsum("bsn,bst,btm->nm", Jw, Iw, Jw)
         bias = self._dynamics_core(q, v, jnp.zeros((self.nv,), self.dtype), wq=wq)
         rhs = tau - bias
-        chol = jnp.linalg.cholesky(M)
-        return jax.scipy.linalg.cho_solve((chol, True), rhs)
+        # mixed precision: sub-f32 dtypes (bf16) factorize in f32 — neither
+        # LAPACK nor the TPU solver path supports half-precision Cholesky,
+        # and the conditioning headroom is needed anyway
+        solve_dtype = jnp.promote_types(self.dtype, jnp.float32)
+        chol = jnp.linalg.cholesky(M.astype(solve_dtype))
+        a = jax.scipy.linalg.cho_solve((chol, True), rhs.astype(solve_dtype))
+        return a.astype(self.dtype)
 
     # parity alias with the reference model concept
     dynamics_aba = forward_dynamics

@@ -229,3 +229,46 @@ def test_world_frame_matches_chain_implementations(model):
         np.asarray(model.mass_matrix_chain(q)),
         atol=1e-9,
     )
+
+
+def test_state_transport(model):
+    """Parallel transport: identity at the same point; norm-preserving-ish
+    for pure-rotation manififolds; exact round trip within first order."""
+    k1, k2, k3 = jax.random.split(jax.random.key(33), 3)
+    q = rand_q(model, k1)
+    x = base.state_pack(q, jnp.zeros(model.nv))
+    v = rand_v(model, k2, scale=0.5)
+    dv = jnp.concatenate([v, rand_v(model, k3, scale=0.5)])
+    same = base.state_transport(model, dv, x, x)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(dv), atol=1e-9)
+    # transporting to a nearby point and back is identity to first order
+    x2 = base.state_integrate(model, x, 1e-3 * jnp.ones(2 * model.nv))
+    there = base.state_transport(model, dv, x, x2)
+    back = base.state_transport(model, there, x2, x)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(dv), atol=1e-4)
+
+
+def test_bfloat16_dynamics_smoke():
+    """Precision envelope (SURVEY §2 #30): the dtype axis reaches bf16.
+
+    Accuracy is checked on the well-conditioned double pendulum (the
+    all-joints chain has ~1e-3 tip inertias whose mass-matrix conditioning
+    exceeds bf16's 8-bit mantissa — finiteness only there)."""
+    dp16 = double_pendulum(dtype=jnp.bfloat16)
+    dp64 = double_pendulum(dtype=jnp.float64)
+    q = jnp.asarray([0.4, -0.3], jnp.float64)
+    v = jnp.asarray([0.2, 0.1], jnp.float64)
+    tau = jnp.asarray([1.0, -0.5], jnp.float64)
+    a64 = np.asarray(dp64.forward_dynamics(q, v, tau))
+    a16 = np.asarray(
+        dp16.forward_dynamics(
+            q.astype(jnp.bfloat16), v.astype(jnp.bfloat16), tau.astype(jnp.bfloat16)
+        )
+    ).astype(np.float64)
+    scale = np.maximum(np.abs(a64), 1.0)
+    assert np.max(np.abs(a16 - a64) / scale) < 0.05
+
+    m16 = all_joints_test_model(dtype=jnp.bfloat16)
+    q16 = m16.neutral_configuration()
+    a = m16.forward_dynamics(q16, 0.1 * jnp.ones(m16.nv, jnp.bfloat16), jnp.zeros(m16.nv, jnp.bfloat16))
+    assert np.isfinite(np.asarray(a).astype(np.float64)).all()
