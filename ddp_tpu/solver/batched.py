@@ -116,6 +116,47 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
     return ks, Ks, jnp.all(oks)
 
 
+def _backward_pallas_levels(
+    derivs, mult_val, mult_jac, mu, reg, n_levels=3, block_b=None, interpret=False
+):
+    """Batch-level Pallas backward (kernels/riccati_small.py) with static
+    multi-level regularization retry: the whole [B]-batch sweeps in one
+    kernel launch per level (batch on the TPU lane axis), vs the XLA path's
+    T fused kernels per sweep.  Gauss-Newton only.  Returns batch-major
+    (k [B,T,m], K [B,T,m,n], ok [B], reg_used [B])."""
+    from ddp_tpu.kernels.riccati_small import backward_sweep_pallas, pack_batch_last
+
+    B, T = derivs.lx.shape[0], derivs.lx.shape[1]
+    n, m, e = derivs.lx.shape[-1], derivs.lu.shape[-1], derivs.eq.shape[-1]
+    if block_b is None:
+        block_b = B if B <= 512 else 512
+    if B % block_b:
+        raise ValueError(f"batch {B} not divisible by block_b {block_b}")
+    packed = pack_batch_last(derivs, mult_val, mult_jac)
+    base = jnp.maximum(reg, mu) * 2.0
+    k = K = None
+    ok_acc = jnp.zeros((B,), bool)
+    reg_used = reg
+    lvl = reg
+    for i in range(n_levels):
+        k_i, K_i, ok_i = backward_sweep_pallas(
+            packed, mu, lvl, T=T, n=n, m=m, e=e, block_b=block_b, interpret=interpret
+        )
+        newly = jnp.logical_and(~ok_acc, ok_i)
+        if k is None:
+            k, K = k_i, K_i
+        else:
+            k = jnp.where(newly[None, None, :], k_i, k)
+            K = jnp.where(newly[None, None, :], K_i, K)
+        reg_used = jnp.where(newly, lvl, reg_used)
+        ok_acc = jnp.logical_or(ok_acc, ok_i)
+        lvl = base * (16.0**i)
+    # kernel layout [T, m, B] / [T, m*n, B] → batch-major
+    k_bt = jnp.transpose(k, (2, 0, 1))
+    K_bt = jnp.transpose(K.reshape(T, m, n, B), (3, 0, 1, 2))
+    return k_bt, K_bt, ok_acc, reg_used
+
+
 def _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_candidates, unroll=1):
     """Parallel line-search: rollout all candidate steps, pick the largest
     accepted one; keep the incumbent trajectory when none is accepted."""
@@ -139,6 +180,24 @@ def _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_candidates, unroll=1):
     return xs_new, us_new, step_used
 
 
+class _BatchCarry(NamedTuple):
+    xs: jax.Array
+    us: jax.Array
+    mults: al_mod.AffineMults
+    fb: al_mod.AffineMults
+    mu: jax.Array
+    reg: jax.Array
+    w: jax.Array
+    n: jax.Array
+    oo_prev: jax.Array
+    just_changed: jax.Array
+
+
+def _bwhere(c, a, b):
+    """jnp.where with the [B] condition broadcast against trailing dims."""
+    return jnp.where(c.reshape(c.shape + (1,) * (a.ndim - 1)), a, b)
+
+
 def solve_batched(
     problem,
     params: SolverParams,
@@ -147,17 +206,29 @@ def solve_batched(
     method: Method = Method.PRIMAL_DUAL_AFFINE,
     n_linesearch: int = 8,
     unroll: int = 1,
-    backward: str = "sweep",  # "sweep" (sequential multi-reg) | "assoc"
+    backward: str = "sweep",
+    # "sweep": per-sample multi-reg XLA scan (default, works for any problem)
     # "assoc": associative-scan Riccati (O(log T) depth; Gauss-Newton only —
-    # requires problem.second_order=False). Regularization is folded into
-    # the stage cost; factorization failure falls back to reg escalation.
+    #   requires problem.second_order=False); reg folded into the stage cost
+    # "pallas": batch-on-lanes Pallas kernel sweep (Gauss-Newton only); the
+    #   whole batch runs one kernel launch per reg level instead of T fused
+    #   XLA kernels per sweep
+    block_b: int | None = None,  # pallas batch block (lane) size
+    interpret: bool = False,  # pallas interpret mode (CPU tests)
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
-    keeping their trajectory)."""
-    T, nu, ne, ndx = problem.horizon, problem.nu, problem.ne, problem.ndx
+    keeping their trajectory).
+
+    Batch-major throughout: every per-sample helper is vmapped, the outer
+    scan carries [B]-leading state, and the backward pass can be a batch-level
+    primitive (the Pallas kernel wants the batch on the TPU lane axis — it
+    could not live inside a per-sample vmap).
+    """
+    T, nu = problem.horizon, problem.nu
     dtype = x0s.dtype
     model = problem.model
+    B = x0s.shape[0]
     affine = method is Method.PRIMAL_DUAL_AFFINE
     eps = jnp.finfo(dtype).eps
     w_min = jnp.asarray(
@@ -165,170 +236,175 @@ def solve_batched(
     )
     threshold = jnp.asarray(params.threshold, dtype)
 
-    def single(x0, u_init):
-        xs = problem.rollout(x0, u_init)
-        us = u_init
-        mults = al_mod.init_multipliers(problem, xs)
-        mu = jnp.asarray(params.mu, dtype)
-        reg = jnp.asarray(params.reg, dtype)
-        w = jnp.asarray(params.w if params.w is not None else 1.0 / params.mu, dtype)
-        n = jnp.asarray(params.n if params.n is not None else 1.0 / params.mu**0.1, dtype)
-
-        def constrain_jac(jac):
-            return jac if affine else jnp.zeros_like(jac)
-
-        def run_backward(derivs, mv, mj, mu_, reg_):
-            if backward == "assoc":
-                from ddp_tpu.solver.parallel_riccati import backward_pass_assoc
-
-                k_, K_, ok_ = backward_pass_assoc(derivs, mv, mj, mu_, reg_)
-                return k_, K_, ok_, reg_
-            return _backward_multi_reg(derivs, mv, mj, mu_, reg_, unroll=unroll)
-
-        # pre-loop backward/forward (≙ solve(): ddp.hpp:768-773)
-        derivs = problem.derivatives(xs, us)
-        k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu, reg)
-        xs1, us1, step = _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_linesearch, unroll=unroll)
-        ok_f = jnp.isfinite(
-            jnp.sum(us1)
-        )  # guard: failed cholesky poisons the candidate rollouts
-        ok = jnp.logical_and(ok, ok_f)
-        xs = jnp.where(ok, xs1, xs)
-        us = jnp.where(ok, us1, us)
-        # NaN gains from a failed factorization must never enter the carry:
-        # 0·NaN = NaN would poison later masked updates
-        fb = al_mod.AffineMults(
-            jnp.where(ok, k, jnp.zeros_like(k)),
-            jnp.where(ok, K, jnp.zeros_like(K)),
-            xs[:-1],
+    if backward in ("assoc", "pallas") and problem.second_order:
+        raise ValueError(
+            f"backward={backward!r} is Gauss-Newton only; build the Problem "
+            "with second_order=False"
         )
-        # carry the reg level that actually factorized; escalate further only
-        # if every level failed (μ is left alone — see note in iteration())
-        reg = jnp.where(ok, reg_u, jnp.maximum(reg, mu) * 2.0)
-
-        class C(NamedTuple):
-            xs: jax.Array
-            us: jax.Array
-            mults: al_mod.AffineMults
-            fb: al_mod.AffineMults
-            mu: jax.Array
-            reg: jax.Array
-            w: jax.Array
-            n: jax.Array
-            oo_prev: jax.Array
-            just_changed: jax.Array
-
-        def iteration(c: C, _):
-            derivs = problem.derivatives(c.xs, c.us)
-            mults = al_mod.update_origin(model, c.mults, c.xs)
-            mults = mults._replace(jac=constrain_jac(mults.jac))
-            fbm = al_mod.update_origin(model, c.fb, c.xs)
-
-            oo = al_mod.optimality_obj(problem, derivs, mults.val, mults.jac, c.mu)
-            oc = al_mod.optimality_constr(derivs)
-            olag = al_mod.optimality_lag(problem, derivs, mults.val, mults.jac)
-            done = jnp.logical_and(olag < threshold, oc < threshold)
-
-            plateau = jnp.logical_and(oo >= 0.1 * c.oo_prev, ~c.just_changed)
-            gate = jnp.logical_or(oo < jnp.maximum(c.w, w_min), plateau)
-            upd_s = jnp.logical_and(~done, jnp.logical_and(gate, oc < c.n))
-            upd_f = jnp.logical_and(~done, jnp.logical_and(gate, oc >= c.n))
-
-            # where-select (not gain·delta): a NaN delta under a closed gate
-            # must not leak into the multipliers
-            val_upd = mults.val + c.mu * (
-                derivs.eq + jnp.einsum("tou,tu->to", derivs.equ, fbm.val)
-            )
-            jac_upd = mults.jac + c.mu * (
-                derivs.eqx + jnp.einsum("tou,tuj->toj", derivs.equ, fbm.jac)
-            )
-            mults = mults._replace(
-                val=jnp.where(upd_s, val_upd, mults.val),
-                jac=constrain_jac(jnp.where(upd_s, jac_upd, mults.jac)),
-            )
-            mu_new = jnp.where(upd_f, c.mu * 10.0, c.mu)
-            n_new = jnp.where(
-                upd_s,
-                jnp.maximum(c.n * c.mu**-0.9, threshold),
-                jnp.where(upd_f, mu_new**-0.1, c.n),
-            )
-            w_new = jnp.where(upd_s, c.w / c.mu, c.w)
-
-            k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu_new, c.reg)
-            xs1, us1, step = _linesearch_sweep(
-                problem, c.xs, c.us, k, K, mults, mu_new, n_linesearch, unroll=unroll
-            )
-            ok = jnp.logical_and(ok, jnp.isfinite(jnp.sum(us1)))
-            # carry the reg level that factorized; relax on a full accepted
-            # step (ddp.hpp:819-824); escalate only if all levels failed.
-            # Unlike the reference's in-sweep retry we never escalate μ here:
-            # compounding μ·2 across outer iterations blows μ past the
-            # float64-useful range.
-            reg_new = jnp.where(
-                ok,
-                jnp.where(
-                    step >= 0.5,
-                    jnp.where(reg_u / 2 < 1e-5, jnp.zeros_like(reg_u), reg_u / 2),
-                    reg_u,
-                ),
-                jnp.maximum(c.reg, mu_new) * 2.0,
-            )
-            xs_new = jnp.where(ok, xs1, c.xs)
-            us_new = jnp.where(ok, us1, c.us)
-            fb_new = jax.tree.map(
-                lambda old, new: jnp.where(ok, new, old),
-                c.fb,
-                al_mod.AffineMults(
-                    jnp.where(ok, k, jnp.zeros_like(k)),
-                    jnp.where(ok, K, jnp.zeros_like(K)),
-                    c.xs[:-1],
-                ),
-            )
-            return (
-                C(
-                    xs=xs_new,
-                    us=us_new,
-                    mults=mults,
-                    fb=fb_new,
-                    mu=mu_new,
-                    reg=reg_new,
-                    w=w_new,
-                    n=n_new,
-                    oo_prev=oo,
-                    just_changed=jnp.logical_or(upd_s, upd_f),
-                ),
-                None,
-            )
-
-        init = C(
-            xs=xs,
-            us=us,
-            mults=mults,
-            fb=fb,
-            mu=mu,
-            reg=reg,
-            w=w,
-            n=n,
-            oo_prev=jnp.asarray(jnp.inf, dtype),
-            just_changed=jnp.asarray(True),
-        )
-        final, _ = jax.lax.scan(
-            iteration,
-            init,
-            None,
-            length=params.max_iterations,
-            unroll=min(unroll, params.max_iterations),
-        )
-
-        derivs = problem.derivatives(final.xs, final.us)
-        mults = al_mod.update_origin(model, final.mults, final.xs)
-        oc = al_mod.optimality_constr(derivs)
-        olag = al_mod.optimality_lag(problem, derivs, mults.val, mults.jac)
-        return final, oc, olag
 
     if us_init is None:
-        us_init = jnp.zeros((x0s.shape[0], T, nu), dtype=dtype)
-    final, oc, olag = jax.vmap(single)(x0s, us_init)
+        us_init = jnp.zeros((B, T, nu), dtype=dtype)
+
+    # vmapped per-sample helpers
+    vrollout = jax.vmap(problem.rollout)
+    vderivs = jax.vmap(problem.derivatives)
+    vinit_mults = jax.vmap(lambda xs_: al_mod.init_multipliers(problem, xs_))
+    vupdate_origin = jax.vmap(lambda m_, xs_: al_mod.update_origin(model, m_, xs_))
+    vls = jax.vmap(
+        lambda xs_, us_, k_, K_, mults_, mu_: _linesearch_sweep(
+            problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch, unroll=unroll
+        )
+    )
+    v_oo = jax.vmap(
+        lambda d, mv, mj, mu_: al_mod.optimality_obj(problem, d, mv, mj, mu_)
+    )
+    v_oc = jax.vmap(al_mod.optimality_constr)
+    v_olag = jax.vmap(lambda d, mv, mj: al_mod.optimality_lag(problem, d, mv, mj))
+
+    def constrain_jac(jac):
+        return jac if affine else jnp.zeros_like(jac)
+
+    def run_backward(derivs, mv, mj, mu_, reg_):
+        if backward == "assoc":
+            from ddp_tpu.solver.parallel_riccati import backward_pass_assoc
+
+            k_, K_, ok_ = jax.vmap(backward_pass_assoc)(derivs, mv, mj, mu_, reg_)
+            return k_, K_, ok_, reg_
+        if backward == "pallas":
+            return _backward_pallas_levels(
+                derivs, mv, mj, mu_, reg_, block_b=block_b, interpret=interpret
+            )
+        return jax.vmap(
+            lambda d, v_, j_, m_, r_: _backward_multi_reg(d, v_, j_, m_, r_, unroll=unroll)
+        )(derivs, mv, mj, mu_, reg_)
+
+    # --- pre-loop backward/forward (≙ solve(): ddp.hpp:768-773) ---
+    xs = vrollout(x0s, us_init)
+    us = us_init
+    mults = vinit_mults(xs)
+    mu = jnp.full((B,), params.mu, dtype)
+    reg = jnp.full((B,), params.reg, dtype)
+    w = jnp.full((B,), params.w if params.w is not None else 1.0 / params.mu, dtype)
+    n = jnp.full(
+        (B,), params.n if params.n is not None else 1.0 / params.mu**0.1, dtype
+    )
+
+    derivs = vderivs(xs, us)
+    k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu, reg)
+    xs1, us1, step = vls(xs, us, k, K, mults, mu)
+    # guard: failed cholesky poisons the candidate rollouts
+    ok = jnp.logical_and(ok, jnp.isfinite(jnp.sum(us1, axis=(1, 2))))
+    xs = _bwhere(ok, xs1, xs)
+    us = _bwhere(ok, us1, us)
+    # NaN gains from a failed factorization must never enter the carry:
+    # 0·NaN = NaN would poison later masked updates
+    fb = al_mod.AffineMults(
+        _bwhere(ok, k, jnp.zeros_like(k)),
+        _bwhere(ok, K, jnp.zeros_like(K)),
+        xs[:, :-1],
+    )
+    # carry the reg level that actually factorized; escalate further only
+    # if every level failed (μ is left alone — see note in iteration())
+    reg = jnp.where(ok, reg_u, jnp.maximum(reg, mu) * 2.0)
+
+    def iteration(c: _BatchCarry, _):
+        derivs = vderivs(c.xs, c.us)
+        mults = vupdate_origin(c.mults, c.xs)
+        mults = mults._replace(jac=constrain_jac(mults.jac))
+        fbm = vupdate_origin(c.fb, c.xs)
+
+        oo = v_oo(derivs, mults.val, mults.jac, c.mu)
+        oc = v_oc(derivs)
+        olag = v_olag(derivs, mults.val, mults.jac)
+        done = jnp.logical_and(olag < threshold, oc < threshold)
+
+        plateau = jnp.logical_and(oo >= 0.1 * c.oo_prev, ~c.just_changed)
+        gate = jnp.logical_or(oo < jnp.maximum(c.w, w_min), plateau)
+        upd_s = jnp.logical_and(~done, jnp.logical_and(gate, oc < c.n))
+        upd_f = jnp.logical_and(~done, jnp.logical_and(gate, oc >= c.n))
+
+        # where-select (not gain·delta): a NaN delta under a closed gate
+        # must not leak into the multipliers
+        val_upd = mults.val + c.mu[:, None, None] * (
+            derivs.eq + jnp.einsum("btou,btu->bto", derivs.equ, fbm.val)
+        )
+        jac_upd = mults.jac + c.mu[:, None, None, None] * (
+            derivs.eqx + jnp.einsum("btou,btuj->btoj", derivs.equ, fbm.jac)
+        )
+        mults = mults._replace(
+            val=_bwhere(upd_s, val_upd, mults.val),
+            jac=constrain_jac(_bwhere(upd_s, jac_upd, mults.jac)),
+        )
+        mu_new = jnp.where(upd_f, c.mu * 10.0, c.mu)
+        n_new = jnp.where(
+            upd_s,
+            jnp.maximum(c.n * c.mu**-0.9, threshold),
+            jnp.where(upd_f, mu_new**-0.1, c.n),
+        )
+        w_new = jnp.where(upd_s, c.w / c.mu, c.w)
+
+        k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu_new, c.reg)
+        xs1, us1, step = vls(c.xs, c.us, k, K, mults, mu_new)
+        ok = jnp.logical_and(ok, jnp.isfinite(jnp.sum(us1, axis=(1, 2))))
+        # carry the reg level that factorized; relax on a full accepted
+        # step (ddp.hpp:819-824); escalate only if all levels failed.
+        # Unlike the reference's in-sweep retry we never escalate μ here:
+        # compounding μ·2 across outer iterations blows μ past the
+        # float64-useful range.
+        reg_new = jnp.where(
+            ok,
+            jnp.where(
+                step >= 0.5,
+                jnp.where(reg_u / 2 < 1e-5, jnp.zeros_like(reg_u), reg_u / 2),
+                reg_u,
+            ),
+            jnp.maximum(c.reg, mu_new) * 2.0,
+        )
+        fb_new = al_mod.AffineMults(
+            _bwhere(ok, k, c.fb.val),
+            _bwhere(ok, K, c.fb.jac),
+            _bwhere(ok, c.xs[:, :-1], c.fb.origin),
+        )
+        return (
+            _BatchCarry(
+                xs=_bwhere(ok, xs1, c.xs),
+                us=_bwhere(ok, us1, c.us),
+                mults=mults,
+                fb=fb_new,
+                mu=mu_new,
+                reg=reg_new,
+                w=w_new,
+                n=n_new,
+                oo_prev=oo,
+                just_changed=jnp.logical_or(upd_s, upd_f),
+            ),
+            None,
+        )
+
+    init = _BatchCarry(
+        xs=xs,
+        us=us,
+        mults=mults,
+        fb=fb,
+        mu=mu,
+        reg=reg,
+        w=w,
+        n=n,
+        oo_prev=jnp.full((B,), jnp.inf, dtype),
+        just_changed=jnp.ones((B,), bool),
+    )
+    final, _ = jax.lax.scan(
+        iteration,
+        init,
+        None,
+        length=params.max_iterations,
+        unroll=min(unroll, params.max_iterations),
+    )
+
+    derivs = vderivs(final.xs, final.us)
+    mults = vupdate_origin(final.mults, final.xs)
+    oc = v_oc(derivs)
+    olag = v_olag(derivs, mults.val, mults.jac)
     return BatchSolveResult(
         xs=final.xs,
         us=final.us,

@@ -17,3 +17,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the arm/solver test programs are compile-heavy
+# (jacfwd over RNEA + while_loop solvers); cached, a full-suite rerun drops
+# from minutes of XLA compile time to seconds.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

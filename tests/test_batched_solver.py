@@ -79,3 +79,31 @@ def test_batched_float32():
     res = jax.jit(lambda x: solve_batched(problem, params, x))(x0s)
     assert np.all(np.isfinite(np.asarray(res.us)))
     np.testing.assert_allclose(res.xs[:, -1, 0], 3.14, atol=5e-2)
+
+
+def test_batched_pallas_backend_matches_sweep():
+    """backward="pallas" (interpret mode on CPU) reaches the same solution
+    as the default XLA sweep backend at the full-solve level."""
+    base = make_problem(dtype=jnp.float32)
+    # pallas backend is Gauss-Newton only
+    problem = Problem(
+        dynamics=base.dynamics,
+        cost=base.cost,
+        constraint=base.constraint,
+        horizon=base.horizon,
+        second_order=False,
+    )
+    params = SolverParams(max_iterations=12, threshold=1e-5, mu=1e4)
+    x0s = jnp.stack([jnp.array([q, 0.0], jnp.float32) for q in (-0.4, 0.0, 0.3, 0.6)])
+
+    ref = jax.jit(lambda x: solve_batched(problem, params, x))(x0s)
+    pal = jax.jit(
+        lambda x: solve_batched(problem, params, x, backward="pallas", interpret=True)
+    )(x0s)
+    assert np.all(np.isfinite(np.asarray(pal.us)))
+    np.testing.assert_allclose(
+        np.asarray(pal.us), np.asarray(ref.us), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal.xs[:, -1]), np.asarray(ref.xs[:, -1]), atol=1e-3
+    )
