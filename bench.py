@@ -17,7 +17,12 @@ import numpy as np
 
 BATCH = 4096
 HORIZON = 32
-ITERS = 10
+# 14 fixed AL-DDP iterations: with the Pallas batch-on-lanes backward the
+# per-iteration cost is almost fully amortized (34 ms @ 10 iters → 36 ms @
+# 14), and at 14 every sample reaches ‖eq‖ < 1e-2 (p99 = 2.7e-3) — strictly
+# better convergence than the XLA-sweep backend got at 10 iterations
+# (benchmarks/results.jsonl backend_sweep + iteration-budget sweeps).
+ITERS = 14
 TARGET = 10_000.0  # solves/s/chip (BASELINE.json)
 
 
@@ -66,10 +71,17 @@ def main() -> None:
         dtype=dtype,
     )
 
-    fn = jax.jit(lambda x: solve_batched(problem, params, x))
-    # warm-up / compile
-    res = fn(x0s)
-    jax.block_until_ready(res.us)
+    # Pallas batch-on-lanes backward (kernels/riccati_small.py) is the fast
+    # path on real TPU; fall back to the XLA sweep anywhere Mosaic is
+    # unavailable (still ≥2× the target).
+    try:
+        fn = jax.jit(lambda x: solve_batched(problem, params, x, backward="pallas"))
+        res = fn(x0s)
+        jax.block_until_ready(res.us)
+    except Exception:
+        fn = jax.jit(lambda x: solve_batched(problem, params, x))
+        res = fn(x0s)
+        jax.block_until_ready(res.us)
 
     n_rep = 5
     t0 = time.perf_counter()
@@ -79,6 +91,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / n_rep
 
     solves_per_s = BATCH / dt
+    frac_feasible = float(jnp.mean((res.opt_constr < 1e-2).astype(jnp.float32)))
     print(
         json.dumps(
             {
@@ -86,6 +99,7 @@ def main() -> None:
                 "value": round(solves_per_s, 1),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / TARGET, 3),
+                "frac_feasible_1e-2": round(frac_feasible, 4),
             }
         )
     )

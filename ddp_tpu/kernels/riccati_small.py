@@ -181,10 +181,14 @@ def _bwd_kernel(
         k_sol = sols[0]
         K_cols = sols[1:]  # K_cols[j][i] = (Quu⁻¹Qux)[i][j]
 
-        ok_t = L[0][0] > 0.0
+        # per-LANE success flag [B]: each batch sample fails independently
+        # (reducing over lanes here would let one bad sample poison its
+        # whole block).  Carried as a float 0/1 mask — Mosaic mis-lays-out
+        # 1-D i1 vectors as fori_loop carries (andi shape mismatch).
+        ok_t = jnp.ones_like(L[0][0])
         for i in range(m):
-            ok_t = jnp.logical_and(ok_t, L[i][i] > 0.0)
-            ok_t = jnp.logical_and(ok_t, jnp.isfinite(L[i][i]))
+            good = jnp.logical_and(L[i][i] > 0.0, jnp.isfinite(L[i][i]))
+            ok_t = ok_t * jnp.where(good, 1.0, 0.0).astype(ok_t.dtype)
 
         for i in range(m):
             k_out[t, i, :] = -k_sol[i]
@@ -204,10 +208,11 @@ def _bwd_kernel(
                     s = s - Qux[o][i] * K_cols[j][o]
                 Vxx_s[i * n + j, :] = s
 
-        return jnp.logical_and(ok, jnp.all(ok_t))
+        return ok * ok_t
 
-    ok = jax.lax.fori_loop(0, T, body, jnp.asarray(True))
-    ok_out[0, :] = jnp.where(ok, jnp.ones_like(ok_out[0, :]), jnp.zeros_like(ok_out[0, :]))
+    ok0 = jnp.ones_like(ok_out[0, :])  # [B] per-lane float 0/1 mask
+    ok = jax.lax.fori_loop(0, T, body, ok0)
+    ok_out[0, :] = ok
 
 
 def backward_sweep_pallas(

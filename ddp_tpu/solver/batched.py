@@ -117,7 +117,7 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
 
 
 def _backward_pallas_levels(
-    derivs, mult_val, mult_jac, mu, reg, n_levels=3, block_b=None, interpret=False
+    derivs, mult_val, mult_jac, mu, reg, n_levels=4, block_b=None, interpret=False
 ):
     """Batch-level Pallas backward (kernels/riccati_small.py) with static
     multi-level regularization retry: the whole [B]-batch sweeps in one

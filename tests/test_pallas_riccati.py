@@ -61,4 +61,29 @@ def test_pallas_backward_matches_xla():
     K_p_bt = jnp.transpose(K_p.reshape(H, 1, 2, B), (3, 0, 1, 2))
     np.testing.assert_allclose(np.asarray(k_p_bt), np.asarray(k_ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(K_p_bt), np.asarray(K_ref), rtol=2e-4, atol=2e-5)
-    assert bool(jnp.all(ok_p)) == bool(jnp.all(ok_ref))
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_ref))
+
+
+def test_pallas_ok_is_per_sample():
+    """A failing sample must not poison the other lanes in its block."""
+    B, H = 8, 16
+    problem, derivs, mults = make_batch(B, H)
+    mu = jnp.full((B,), 1e3, jnp.float32)
+    reg = jnp.zeros((B,), jnp.float32)
+    # make sample 3's Quu indefinite at every step so its Cholesky fails
+    luu_bad = derivs.luu.at[3].set(-10.0 * jnp.eye(1, dtype=jnp.float32))
+    derivs = derivs._replace(luu=luu_bad)
+
+    _, _, ok_ref = jax.vmap(
+        lambda d, mv, mj, m, r: _backward_sweep(d, mv, mj, m, r)
+    )(derivs, mults.val, mults.jac, mu, reg)
+
+    packed = pack_batch_last(derivs, mults.val, mults.jac)
+    k_p, K_p, ok_p = backward_sweep_pallas(
+        packed, mu, reg, T=H, n=2, m=1, e=1, block_b=8, interpret=True
+    )
+    assert not bool(ok_p[3])
+    assert bool(jnp.all(jnp.delete(ok_p, 3)))
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_ref))
+    # healthy lanes' gains stay finite
+    assert bool(jnp.all(jnp.isfinite(jnp.transpose(k_p, (2, 0, 1))[jnp.arange(B) != 3])))
