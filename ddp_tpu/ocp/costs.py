@@ -25,7 +25,7 @@ class QuadControlCost:
 
     def stage(self, t, x, u):
         del t, x
-        return 0.5 * self.c * jnp.dot(u, u)
+        return 0.5 * self.c * jnp.sum(u * u)
 
     def terminal(self, x):
         return jnp.zeros((), dtype=x.dtype)
@@ -53,11 +53,11 @@ class QuadTrackingCost:
     def stage(self, t, x, u):
         del t
         e = x - self.x_ref
-        return 0.5 * jnp.dot(e * self.q_diag, e) + 0.5 * jnp.dot(u * self.r_diag, u)
+        return 0.5 * jnp.sum(e * self.q_diag * e) + 0.5 * jnp.sum(u * self.r_diag * u)
 
     def terminal(self, x):
         e = x - self.x_ref
-        return 0.5 * jnp.dot(e * self.qf_diag, e)
+        return 0.5 * jnp.sum(e * self.qf_diag * e)
 
 
 @jax.tree_util.register_dataclass
@@ -87,9 +87,9 @@ class ManifoldTrackingCost:
         nv = self.model.nv
         dq, dv = e[:nv], e[nv:]
         return (
-            0.5 * jnp.dot(dq * self.q_diag, dq)
-            + 0.5 * jnp.dot(dv * self.v_diag, dv)
-            + 0.5 * jnp.dot(u * self.r_diag, u)
+            0.5 * jnp.sum(dq * self.q_diag * dq)
+            + 0.5 * jnp.sum(dv * self.v_diag * dv)
+            + 0.5 * jnp.sum(u * self.r_diag * u)
         )
 
     def terminal(self, x):
@@ -97,7 +97,7 @@ class ManifoldTrackingCost:
         nv = self.model.nv
         dq, dv = e[:nv], e[nv:]
         return self.terminal_scale * (
-            0.5 * jnp.dot(dq * self.q_diag, dq) + 0.5 * jnp.dot(dv * self.v_diag, dv)
+            0.5 * jnp.sum(dq * self.q_diag * dq) + 0.5 * jnp.sum(dv * self.v_diag * dv)
         )
 
 

@@ -213,6 +213,10 @@ def solve_batched(
     # "pallas": batch-on-lanes Pallas kernel sweep (Gauss-Newton only); the
     #   whole batch runs one kernel launch per reg level instead of T fused
     #   XLA kernels per sweep
+    forward: str = "sweep",
+    # "sweep": XLA scan rollout, candidates vmapped (works for any problem)
+    # "pallas": fused line-search kernel (kernels/linesearch_flat.py) — one
+    #   launch for the whole sweep; flat-lane (closed-form) models only
     block_b: int | None = None,  # pallas batch block (lane) size
     interpret: bool = False,  # pallas interpret mode (CPU tests)
 ) -> BatchSolveResult:
@@ -250,11 +254,26 @@ def solve_batched(
     vderivs = jax.vmap(problem.derivatives)
     vinit_mults = jax.vmap(lambda xs_: al_mod.init_multipliers(problem, xs_))
     vupdate_origin = jax.vmap(lambda m_, xs_: al_mod.update_origin(model, m_, xs_))
-    vls = jax.vmap(
-        lambda xs_, us_, k_, K_, mults_, mu_: _linesearch_sweep(
-            problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch, unroll=unroll
+    if forward == "pallas":
+        from ddp_tpu.kernels.linesearch_flat import linesearch_pallas
+
+        def vls(xs_, us_, k_, K_, mults_, mu_):
+            # mults_.origin == xs_[:, :-1] at both call sites (init /
+            # update_origin), which the kernel's p = pe + pex·dx assumes.
+            # The kernel's 8 sublanes carry the ladder + the step-0 row, so
+            # at most 7 candidates (1 … 1/64; the 1/128 tail of the default
+            # 8-wide XLA sweep is accepted only when 1/64 fails — rare).
+            return linesearch_pallas(
+                problem, xs_, us_, k_, K_, mults_.val, mults_.jac, mu_,
+                n_candidates=min(n_linesearch, 7), block_b=block_b,
+                interpret=interpret,
+            )  # fmt: skip
+    else:
+        vls = jax.vmap(
+            lambda xs_, us_, k_, K_, mults_, mu_: _linesearch_sweep(
+                problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch, unroll=unroll
+            )
         )
-    )
     v_oo = jax.vmap(
         lambda d, mv, mj, mu_: al_mod.optimality_obj(problem, d, mv, mj, mu_)
     )
