@@ -69,15 +69,20 @@ def _chol_solve_unrolled(A, rhs_list, m, reg):
 
 
 def _bwd_kernel(
-    # refs: [T, n*m, Bblk] stacked derivative blocks (see caller ordering)
-    lx_ref, lu_ref, lxx_ref, lux_ref, luu_ref,
-    fx_ref, fu_ref,
-    eq_ref, eqx_ref, equ_ref, pe_ref, pex_ref,
-    mu_ref, reg_ref, lfx_ref, lfxx_ref,
-    k_out, K_out, ok_out,
-    Vx_s, Vxx_s,
-    *, T, n, m, e,
+    # refs: [T, n*m, Bblk] stacked derivative blocks (see caller ordering);
+    # with second_order=True six tensor blocks (fxx … equu) follow lfxx
+    *args,
+    T, n, m, e, second_order,
 ):  # fmt: skip
+    (lx_ref, lu_ref, lxx_ref, lux_ref, luu_ref,
+     fx_ref, fu_ref,
+     eq_ref, eqx_ref, equ_ref, pe_ref, pex_ref,
+     mu_ref, reg_ref, lfx_ref, lfxx_ref) = args[:16]  # fmt: skip
+    rest = args[16:]
+    if second_order:
+        fxx_ref, fux_ref, fuu_ref, eqxx_ref, equx_ref, equu_ref = rest[:6]
+        rest = rest[6:]
+    k_out, K_out, ok_out, Vx_s, Vxx_s = rest
     mu = mu_ref[0, :]
     reg = reg_ref[0, :]
 
@@ -144,7 +149,7 @@ def _bwd_kernel(
                 for r in range(1, n):
                     s = s + Vxx[o][r] * fu[r][j]
                 Vfu[o][j] = s
-        # Qxx = lxx + fxᵀ(Vxx fx) + eqxᵀtmp2 + pexᵀeqx
+        # Qxx = lxx + fxᵀ(Vxx fx) + eqxᵀtmp2 + pexᵀeqx [+ Vx·fxx + tmp·eqxx]
         Qxx = [[None] * n for _ in range(n)]
         for i in range(n):
             for j in range(n):
@@ -153,8 +158,13 @@ def _bwd_kernel(
                     s = s + fx[o][i] * Vfx[o][j]
                 for a in range(e):
                     s = s + eqx[a][i] * tmp2[a][j] + pex[a][i] * eqx[a][j]
+                if second_order:
+                    for o in range(n):
+                        s = s + Vx[o] * at(fxx_ref, t, (o * n + i) * n + j)
+                    for a in range(e):
+                        s = s + tmp[a] * at(eqxx_ref, t, (a * n + i) * n + j)
                 Qxx[i][j] = s
-        # Quu = luu + fuᵀ(Vxx fu) + μ·equᵀequ
+        # Quu = luu + fuᵀ(Vxx fu) + μ·equᵀequ [+ Vx·fuu + tmp·equu]
         Quu = [[None] * m for _ in range(m)]
         for i in range(m):
             for j in range(m):
@@ -163,8 +173,13 @@ def _bwd_kernel(
                     s = s + fu[o][i] * Vfu[o][j]
                 for a in range(e):
                     s = s + mu * equ[a][i] * equ[a][j]
+                if second_order:
+                    for o in range(n):
+                        s = s + Vx[o] * at(fuu_ref, t, (o * m + i) * m + j)
+                    for a in range(e):
+                        s = s + tmp[a] * at(equu_ref, t, (a * m + i) * m + j)
                 Quu[i][j] = s
-        # Qux = lux + fuᵀ(Vxx fx) + equᵀtmp2
+        # Qux = lux + fuᵀ(Vxx fx) + equᵀtmp2 [+ Vx·fux + tmp·equx]
         Qux = [[None] * n for _ in range(m)]
         for i in range(m):
             for j in range(n):
@@ -173,6 +188,11 @@ def _bwd_kernel(
                     s = s + fu[o][i] * Vfx[o][j]
                 for a in range(e):
                     s = s + equ[a][i] * tmp2[a][j]
+                if second_order:
+                    for o in range(n):
+                        s = s + Vx[o] * at(fux_ref, t, (o * m + i) * n + j)
+                    for a in range(e):
+                        s = s + tmp[a] * at(equx_ref, t, (a * m + i) * n + j)
                 Qux[i][j] = s
 
         # factor Quu + reg·I, solve for k and K columns
@@ -233,7 +253,11 @@ def backward_sweep_pallas(
     flattened row-major into the middle axis):
       lx [T,n,B], lu [T,m,B], lxx [T,n*n,B], lux [T,m*n,B], luu [T,m*m,B],
       fx [T,n*n,B], fu [T,n*m,B], eq [T,e,B], eqx [T,e*n,B], equ [T,e*m,B],
-      pe [T,e,B], pex [T,e*n,B], lfx [n,B], lfxx [n*n,B].
+      pe [T,e,B], pex [T,e*n,B], lfx [n,B], lfxx [n*n,B];
+      with second_order also fxx [T,n*n*n,B], fux [T,n*m*n,B],
+      fuu [T,n*m*m,B], eqxx [T,e*n*n,B], equx [T,e*m*n,B], equu [T,e*m*m,B]
+      (full-DDP tensor terms, ≙ the reference's rank-3 contractions,
+      ddp_bwd.ipp:74-87 via tensor.hpp:179-235).
 
     Returns (k [T,m,B], K [T,m*n,B], ok [B]).
     """
@@ -241,6 +265,7 @@ def backward_sweep_pallas(
     assert B % block_b == 0, (B, block_b)
     dtype = derivs_bl["lx"].dtype
     grid = (B // block_b,)
+    second_order = "fxx" in derivs_bl
 
     def bs(rows, with_t=True):
         if with_t:
@@ -256,6 +281,22 @@ def backward_sweep_pallas(
         bs(1, with_t=False), bs(1, with_t=False),
         bs(n, with_t=False), bs(n * n, with_t=False),
     ]  # fmt: skip
+    inputs = [
+        derivs_bl["lx"], derivs_bl["lu"], derivs_bl["lxx"], derivs_bl["lux"],
+        derivs_bl["luu"], derivs_bl["fx"], derivs_bl["fu"],
+        derivs_bl["eq"], derivs_bl["eqx"], derivs_bl["equ"],
+        derivs_bl["pe"], derivs_bl["pex"],
+        mu[None, :], reg[None, :], derivs_bl["lfx"], derivs_bl["lfxx"],
+    ]  # fmt: skip
+    if second_order:
+        in_specs += [
+            bs(n * n * n), bs(n * m * n), bs(n * m * m),
+            bs(e * n * n), bs(e * m * n), bs(e * m * m),
+        ]  # fmt: skip
+        inputs += [
+            derivs_bl["fxx"], derivs_bl["fux"], derivs_bl["fuu"],
+            derivs_bl["eqxx"], derivs_bl["equx"], derivs_bl["equu"],
+        ]  # fmt: skip
     out_specs = (bs(m), bs(m * n), bs(1, with_t=False))
     out_shape = (
         jax.ShapeDtypeStruct((T, m, B), dtype),
@@ -263,7 +304,9 @@ def backward_sweep_pallas(
         jax.ShapeDtypeStruct((1, B), dtype),
     )
 
-    kernel = functools.partial(_bwd_kernel, T=T, n=n, m=m, e=e)
+    kernel = functools.partial(
+        _bwd_kernel, T=T, n=n, m=m, e=e, second_order=second_order
+    )
     k, K, ok = pl.pallas_call(
         kernel,
         grid=grid,
@@ -275,18 +318,15 @@ def backward_sweep_pallas(
             pltpu.VMEM((n * n, block_b), dtype),
         ],
         interpret=interpret,
-    )(
-        derivs_bl["lx"], derivs_bl["lu"], derivs_bl["lxx"], derivs_bl["lux"],
-        derivs_bl["luu"], derivs_bl["fx"], derivs_bl["fu"],
-        derivs_bl["eq"], derivs_bl["eqx"], derivs_bl["equ"],
-        derivs_bl["pe"], derivs_bl["pex"],
-        mu[None, :], reg[None, :], derivs_bl["lfx"], derivs_bl["lfxx"],
-    )  # fmt: skip
+    )(*inputs)
     return k, K, ok[0] > 0.5
 
 
-def pack_batch_last(derivs, mult_val, mult_jac):
-    """[B, T, …] solver-layout Derivs → the kernel's [T, rows, B] dict."""
+def pack_batch_last(derivs, mult_val, mult_jac, second_order: bool = False):
+    """[B, T, …] solver-layout Derivs → the kernel's [T, rows, B] dict.
+
+    With ``second_order`` the six rank-3 tensor blocks ride along for the
+    full-DDP kernel path."""
 
     def mv(x, rows):
         # [B, T, ...] → [T, rows, B]
@@ -301,7 +341,7 @@ def pack_batch_last(derivs, mult_val, mult_jac):
     n = derivs.lx.shape[-1]
     m = derivs.lu.shape[-1]
     e = derivs.eq.shape[-1]
-    return dict(
+    out = dict(
         lx=mv(derivs.lx, n), lu=mv(derivs.lu, m),
         lxx=mv(derivs.lxx, n * n), lux=mv(derivs.lux, m * n), luu=mv(derivs.luu, m * m),
         fx=mv(derivs.fx, n * n), fu=mv(derivs.fu, n * m),
@@ -309,3 +349,11 @@ def pack_batch_last(derivs, mult_val, mult_jac):
         pe=mv(mult_val, e), pex=mv(mult_jac, e * n),
         lfx=mv_const(derivs.lfx, n), lfxx=mv_const(derivs.lfxx, n * n),
     )  # fmt: skip
+    if second_order:
+        out.update(
+            fxx=mv(derivs.fxx, n * n * n), fux=mv(derivs.fux, n * m * n),
+            fuu=mv(derivs.fuu, n * m * m),
+            eqxx=mv(derivs.eqxx, e * n * n), equx=mv(derivs.equx, e * m * n),
+            equu=mv(derivs.equu, e * m * m),
+        )  # fmt: skip
+    return out

@@ -117,12 +117,14 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
 
 
 def _backward_pallas_levels(
-    derivs, mult_val, mult_jac, mu, reg, n_levels=4, block_b=None, interpret=False
+    derivs, mult_val, mult_jac, mu, reg, n_levels=4, block_b=None, interpret=False,
+    second_order=False,
 ):
     """Batch-level Pallas backward (kernels/riccati_small.py) with static
     multi-level regularization retry: the whole [B]-batch sweeps in one
     kernel launch per level (batch on the TPU lane axis), vs the XLA path's
-    T fused kernels per sweep.  Gauss-Newton only.  Returns batch-major
+    T fused kernels per sweep.  ``second_order`` adds the full-DDP rank-3
+    contraction terms.  Returns batch-major
     (k [B,T,m], K [B,T,m,n], ok [B], reg_used [B])."""
     from ddp_tpu.kernels.riccati_small import backward_sweep_pallas, pack_batch_last
 
@@ -132,7 +134,7 @@ def _backward_pallas_levels(
         block_b = B if B <= 512 else 512
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
-    packed = pack_batch_last(derivs, mult_val, mult_jac)
+    packed = pack_batch_last(derivs, mult_val, mult_jac, second_order=second_order)
     base = jnp.maximum(reg, mu) * 2.0
     k = K = None
     ok_acc = jnp.zeros((B,), bool)
@@ -210,9 +212,9 @@ def solve_batched(
     # "sweep": per-sample multi-reg XLA scan (default, works for any problem)
     # "assoc": associative-scan Riccati (O(log T) depth; Gauss-Newton only —
     #   requires problem.second_order=False); reg folded into the stage cost
-    # "pallas": batch-on-lanes Pallas kernel sweep (Gauss-Newton only); the
-    #   whole batch runs one kernel launch per reg level instead of T fused
-    #   XLA kernels per sweep
+    # "pallas": batch-on-lanes Pallas kernel sweep; the whole batch runs one
+    #   kernel launch per reg level instead of T fused XLA kernels per sweep.
+    #   Supports full second-order DDP (rank-3 contraction terms unrolled)
     forward: str = "sweep",
     # "sweep": XLA scan rollout, candidates vmapped (works for any problem)
     # "pallas": fused line-search kernel (kernels/linesearch_flat.py) — one
@@ -240,9 +242,9 @@ def solve_batched(
     )
     threshold = jnp.asarray(params.threshold, dtype)
 
-    if backward in ("assoc", "pallas") and problem.second_order:
+    if backward == "assoc" and problem.second_order:
         raise ValueError(
-            f"backward={backward!r} is Gauss-Newton only; build the Problem "
+            "backward='assoc' is Gauss-Newton only; build the Problem "
             "with second_order=False"
         )
 
@@ -291,7 +293,8 @@ def solve_batched(
             return k_, K_, ok_, reg_
         if backward == "pallas":
             return _backward_pallas_levels(
-                derivs, mv, mj, mu_, reg_, block_b=block_b, interpret=interpret
+                derivs, mv, mj, mu_, reg_, block_b=block_b, interpret=interpret,
+                second_order=problem.second_order,
             )
         return jax.vmap(
             lambda d, v_, j_, m_, r_: _backward_multi_reg(d, v_, j_, m_, r_, unroll=unroll)

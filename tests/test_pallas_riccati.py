@@ -87,3 +87,86 @@ def test_pallas_ok_is_per_sample():
     np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_ref))
     # healthy lanes' gains stay finite
     assert bool(jnp.all(jnp.isfinite(jnp.transpose(k_p, (2, 0, 1))[jnp.arange(B) != 3])))
+
+
+def test_pallas_backward_second_order_matches_xla():
+    """Full-DDP mode: the kernel's unrolled rank-3 contraction terms match
+    the XLA einsum path."""
+    B, H = 8, 12
+    model = pendulum(1.0, 1.0, dtype=jnp.float32)
+    dyn = dynamics.euler(model, 0.01)
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=model, target=jnp.asarray([2.0], jnp.float32), active_ts=(H,)
+        ),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=jnp.float32),
+        constraint=con,
+        horizon=H,
+        second_order=True,
+    )
+    x0s = 0.4 * jax.random.normal(jax.random.key(0), (B, 2), jnp.float32)
+    us = 0.3 * jax.random.normal(jax.random.key(1), (B, H, 1), jnp.float32)
+    xs = jax.vmap(problem.rollout)(x0s, us)
+    derivs = jax.vmap(problem.derivatives)(xs, us)
+    mults = jax.vmap(lambda x: al_mod.init_multipliers(problem, x))(xs)
+    mults = mults._replace(
+        val=0.3 * jax.random.normal(jax.random.key(2), mults.val.shape, jnp.float32),
+        jac=0.1 * jax.random.normal(jax.random.key(3), mults.jac.shape, jnp.float32),
+    )
+    mu = jnp.full((B,), 1e3, jnp.float32)
+    reg = jnp.zeros((B,), jnp.float32)
+    # tensor terms must be nonzero for this test to mean anything
+    assert float(jnp.max(jnp.abs(derivs.fxx))) > 0
+
+    k_ref, K_ref, ok_ref = jax.vmap(
+        lambda d, mv, mj, m, r: _backward_sweep(d, mv, mj, m, r)
+    )(derivs, mults.val, mults.jac, mu, reg)
+
+    packed = pack_batch_last(derivs, mults.val, mults.jac, second_order=True)
+    k_p, K_p, ok_p = backward_sweep_pallas(
+        packed, mu, reg, T=H, n=2, m=1, e=1, block_b=8, interpret=True
+    )
+    k_p_bt = jnp.transpose(k_p, (2, 0, 1))
+    K_p_bt = jnp.transpose(K_p.reshape(H, 1, 2, B), (3, 0, 1, 2))
+    np.testing.assert_allclose(np.asarray(k_p_bt), np.asarray(k_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(K_p_bt), np.asarray(K_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_ref))
+
+
+def test_solve_batched_pallas_second_order():
+    """Full second-order DDP solve through the pallas backward reaches the
+    same optimum as the XLA sweep."""
+    from ddp_tpu.solver.batched import solve_batched
+    from ddp_tpu.solver.solve import SolverParams
+
+    H = 24
+    model = pendulum(1.0, 1.0, dtype=jnp.float32)
+    dyn = dynamics.euler(model, 0.01)
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=model, target=jnp.asarray([2.5], jnp.float32), active_ts=(H,)
+        ),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=jnp.float32),
+        constraint=con,
+        horizon=H,
+        second_order=True,
+    )
+    params = SolverParams(max_iterations=10, threshold=1e-5, mu=1e4)
+    x0s = jnp.stack([jnp.array([q, 0.0], jnp.float32) for q in (-0.4, 0.0, 0.3, 0.6)])
+    ref = jax.jit(lambda x: solve_batched(problem, params, x))(x0s)
+    pal = jax.jit(
+        lambda x: solve_batched(problem, params, x, backward="pallas", interpret=True)
+    )(x0s)
+    np.testing.assert_allclose(
+        np.asarray(pal.us), np.asarray(ref.us), rtol=2e-3, atol=2e-3
+    )
