@@ -37,6 +37,8 @@ def record(name, ms=None, **kw):
 
 
 def timed(fn, *args, n=20):
+    """Single-dispatch median (includes the tunnel round trip — compare
+    against the dispatch_floor metric)."""
     g = jax.jit(fn)
     r = g(*args)
     jax.block_until_ready(r)
@@ -47,6 +49,18 @@ def timed(fn, *args, n=20):
         jax.block_until_ready(r)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
+
+
+def timed_pipelined(fn, *args, n=20):
+    """Sustained per-call time: enqueue back-to-back, block once — the
+    device-limited rate a full queue achieves (production protocol)."""
+    g = jax.jit(fn)
+    r = g(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    outs = [g(*args) for _ in range(n)]
+    jax.block_until_ready(outs[-1])
+    return (time.perf_counter() - t0) * 1e3 / n
 
 
 def main():
@@ -189,17 +203,17 @@ def main():
     x0s = jnp.asarray(
         np.stack([rng.uniform(-np.pi, np.pi, B), np.zeros(B)], axis=1), dtype
     )
-    fn = jax.jit(lambda x: solve_batched(pprob, pparams, x))
-    r = fn(x0s)
-    jax.block_until_ready(r.us)
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        r = fn(x0s)
-        jax.block_until_ready(r.us)
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
-    record("pendulum_batch4096_throughput", dt * 1e3, solves_per_s=round(B / dt, 1))
+    for backend in ("sweep", "pallas"):
+        ms = timed_pipelined(
+            lambda x, b=backend: solve_batched(pprob, pparams, x, backward=b).us,
+            x0s,
+            n=10,
+        )
+        record(
+            f"pendulum_batch4096_fullDDP_{backend}",
+            ms,
+            solves_per_s=round(B / (ms / 1e3), 1),
+        )
 
 
 if __name__ == "__main__":

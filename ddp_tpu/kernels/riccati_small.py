@@ -82,7 +82,7 @@ def _bwd_kernel(
     if second_order:
         fxx_ref, fux_ref, fuu_ref, eqxx_ref, equx_ref, equu_ref = rest[:6]
         rest = rest[6:]
-    k_out, K_out, ok_out, Vx_s, Vxx_s = rest
+    k_out, K_out, ok_out, Vx_out, Vxx_out, Vx_s, Vxx_s = rest
     mu = mu_ref[0, :]
     reg = reg_ref[0, :]
 
@@ -233,6 +233,12 @@ def _bwd_kernel(
     ok0 = jnp.ones_like(ok_out[0, :])  # [B] per-lane float 0/1 mask
     ok = jax.lax.fori_loop(0, T, body, ok0)
     ok_out[0, :] = ok
+    # final V (= V at the chunk's first timestep) out, for time-chunked
+    # sweeps over horizons whose full [T, rows, B] block exceeds VMEM
+    for i in range(n):
+        Vx_out[i, :] = Vx_s[i, :]
+        for j in range(n):
+            Vxx_out[i * n + j, :] = Vxx_s[i * n + j, :]
 
 
 def backward_sweep_pallas(
@@ -246,6 +252,7 @@ def backward_sweep_pallas(
     e: int,
     block_b: int = 512,
     interpret: bool = False,
+    time_chunk: int | None = None,
 ):
     """Run the batched backward sweep with batch-on-lanes layout.
 
@@ -260,9 +267,47 @@ def backward_sweep_pallas(
       ddp_bwd.ipp:74-87 via tensor.hpp:179-235).
 
     Returns (k [T,m,B], K [T,m*n,B], ok [B]).
+
+    ``time_chunk`` splits long horizons into reverse-order chunks of that
+    length, carrying (Vx, Vxx) between kernel launches — the whole
+    [T, rows, B] block must fit VMEM otherwise.
     """
     B = derivs_bl["lx"].shape[-1]
     assert B % block_b == 0, (B, block_b)
+
+    if time_chunk is not None and time_chunk < T:
+        assert T % time_chunk == 0, (T, time_chunk)
+        vx, vxx = derivs_bl["lfx"], derivs_bl["lfxx"]
+        ks, Ks = [], []
+        ok_all = None
+        for t1 in range(T, 0, -time_chunk):
+            t0 = t1 - time_chunk
+            sub = {
+                key: (v if key in ("lfx", "lfxx") else v[t0:t1])
+                for key, v in derivs_bl.items()
+            }
+            sub["lfx"], sub["lfxx"] = vx, vxx
+            k_c, K_c, ok_c, vx, vxx = _sweep_call(
+                sub, mu, reg, T=time_chunk, n=n, m=m, e=e,
+                block_b=block_b, interpret=interpret,
+            )  # fmt: skip
+            ks.append(k_c)
+            Ks.append(K_c)
+            ok_all = ok_c if ok_all is None else jnp.logical_and(ok_all, ok_c)
+        k = jnp.concatenate(ks[::-1], axis=0)
+        K = jnp.concatenate(Ks[::-1], axis=0)
+        return k, K, ok_all
+
+    k, K, ok, _, _ = _sweep_call(
+        derivs_bl, mu, reg, T=T, n=n, m=m, e=e, block_b=block_b,
+        interpret=interpret,
+    )  # fmt: skip
+    return k, K, ok
+
+
+def _sweep_call(derivs_bl, mu, reg, *, T, n, m, e, block_b, interpret):
+    """One pallas_call over [0, T); returns (k, K, ok, Vx_final, Vxx_final)."""
+    B = derivs_bl["lx"].shape[-1]
     dtype = derivs_bl["lx"].dtype
     grid = (B // block_b,)
     second_order = "fxx" in derivs_bl
@@ -297,17 +342,22 @@ def backward_sweep_pallas(
             derivs_bl["fxx"], derivs_bl["fux"], derivs_bl["fuu"],
             derivs_bl["eqxx"], derivs_bl["equx"], derivs_bl["equu"],
         ]  # fmt: skip
-    out_specs = (bs(m), bs(m * n), bs(1, with_t=False))
+    out_specs = (
+        bs(m), bs(m * n), bs(1, with_t=False),
+        bs(n, with_t=False), bs(n * n, with_t=False),
+    )  # fmt: skip
     out_shape = (
         jax.ShapeDtypeStruct((T, m, B), dtype),
         jax.ShapeDtypeStruct((T, m * n, B), dtype),
         jax.ShapeDtypeStruct((1, B), dtype),
+        jax.ShapeDtypeStruct((n, B), dtype),
+        jax.ShapeDtypeStruct((n * n, B), dtype),
     )
 
     kernel = functools.partial(
         _bwd_kernel, T=T, n=n, m=m, e=e, second_order=second_order
     )
-    k, K, ok = pl.pallas_call(
+    k, K, ok, vx, vxx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -319,7 +369,7 @@ def backward_sweep_pallas(
         ],
         interpret=interpret,
     )(*inputs)
-    return k, K, ok[0] > 0.5
+    return k, K, ok[0] > 0.5, vx, vxx
 
 
 def pack_batch_last(derivs, mult_val, mult_jac, second_order: bool = False):

@@ -134,6 +134,18 @@ def _backward_pallas_levels(
         block_b = B if B <= 512 else 512
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
+    # The kernel holds the whole time axis of its block in VMEM; for long
+    # horizons split the sweep into reverse-order chunks carrying (Vx, Vxx)
+    # between launches so [chunk, rows, block_b] fits (~8 MB of the 16 MB
+    # scoped limit, leaving room for Mosaic's stack).
+    rows = 2 * (n + m + n * n + m * n + m * m) + e * (2 + 2 * n + m) + 2
+    if second_order:
+        rows += n * (n * n + m * n + m * m) + e * (n * n + m * n + m * m)
+    itemsize = jnp.dtype(derivs.lx.dtype).itemsize
+    budget = 8 * 2**20
+    chunk = T
+    while chunk > 8 and chunk % 2 == 0 and chunk * rows * block_b * itemsize > budget:
+        chunk //= 2
     packed = pack_batch_last(derivs, mult_val, mult_jac, second_order=second_order)
     base = jnp.maximum(reg, mu) * 2.0
     k = K = None
@@ -142,7 +154,8 @@ def _backward_pallas_levels(
     lvl = reg
     for i in range(n_levels):
         k_i, K_i, ok_i = backward_sweep_pallas(
-            packed, mu, lvl, T=T, n=n, m=m, e=e, block_b=block_b, interpret=interpret
+            packed, mu, lvl, T=T, n=n, m=m, e=e, block_b=block_b,
+            interpret=interpret, time_chunk=chunk,
         )
         newly = jnp.logical_and(~ok_acc, ok_i)
         if k is None:

@@ -170,3 +170,23 @@ def test_solve_batched_pallas_second_order():
     np.testing.assert_allclose(
         np.asarray(pal.us), np.asarray(ref.us), rtol=2e-3, atol=2e-3
     )
+
+
+def test_pallas_time_chunked_matches_single_call():
+    """Long-horizon chunked sweep (carrying Vx/Vxx between launches) must
+    reproduce the single-launch result exactly."""
+    B, H = 8, 24
+    problem, derivs, mults = make_batch(B, H)
+    mu = jnp.full((B,), 1e3, jnp.float32)
+    reg = jnp.zeros((B,), jnp.float32)
+    packed = pack_batch_last(derivs, mults.val, mults.jac)
+    k1, K1, ok1 = backward_sweep_pallas(
+        packed, mu, reg, T=H, n=2, m=1, e=1, block_b=8, interpret=True
+    )
+    k2, K2, ok2 = backward_sweep_pallas(
+        packed, mu, reg, T=H, n=2, m=1, e=1, block_b=8, interpret=True,
+        time_chunk=6,
+    )
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(K1), np.asarray(K2))
+    np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
