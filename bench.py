@@ -73,12 +73,16 @@ def main() -> None:
 
     # Pallas batch-on-lanes backward (kernels/riccati_small.py) is the fast
     # path on real TPU; fall back to the XLA sweep anywhere Mosaic is
-    # unavailable (still ≥2× the target).
+    # unavailable (still ≥2× the target).  The backend that actually ran and
+    # any fallback reason are recorded in the output row so a pallas
+    # regression shows up as more than an unexplained throughput drop.
+    backend, fallback_error = "pallas", None
     try:
         fn = jax.jit(lambda x: solve_batched(problem, params, x, backward="pallas"))
         res = fn(x0s)
         jax.block_until_ready(res.us)
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — driver needs a number either way
+        backend, fallback_error = "sweep", f"{type(exc).__name__}: {exc}"[:200]
         fn = jax.jit(lambda x: solve_batched(problem, params, x))
         res = fn(x0s)
         jax.block_until_ready(res.us)
@@ -96,17 +100,30 @@ def main() -> None:
 
     solves_per_s = BATCH / dt
     frac_feasible = float(jnp.mean((res.opt_constr < 1e-2).astype(jnp.float32)))
-    print(
-        json.dumps(
-            {
-                "metric": "pendulum_ddp_solves_per_s_per_chip",
-                "value": round(solves_per_s, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / TARGET, 3),
-                "frac_feasible_1e-2": round(frac_feasible, 4),
-            }
-        )
-    )
+    row = {
+        "metric": "pendulum_ddp_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / TARGET, 3),
+        "frac_feasible_1e-2": round(frac_feasible, 4),
+        "backend": backend,
+    }
+    if fallback_error:
+        row["fallback_error"] = fallback_error
+    print(json.dumps(row))
+    # mirror into the benchmark log so docs claims are traceable
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "benchmarks",
+                "results.jsonl",
+            ),
+            "a",
+        ) as f:
+            f.write(json.dumps({**row, "t": time.strftime("%Y-%m-%d %H:%M:%S")}) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

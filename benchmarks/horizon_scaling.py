@@ -1,67 +1,38 @@
-"""Backward-pass scaling with horizon T: Pallas in-kernel sweep (O(T) serial
-inside one launch) vs associative-scan Riccati (O(log T) depth, XLA) vs the
-XLA scan sweep (O(T) launches).
+"""Backward-pass scaling with horizon T: Pallas in-kernel sweep (time-
+chunked, O(T) serial inside few launches) vs associative-scan Riccati
+(O(log T) depth, XLA) vs the XLA scan sweep (O(T) launches).
 
 SURVEY.md §5 "long-context": the reference iterates the horizon serially;
 the TPU-native options trade serial depth against per-step width.  This
-records where each wins.  Appends JSON lines to benchmarks/results.jsonl.
-Run SOLO (the axon tunnel serializes TPU clients).
+records where each wins (see docs/DESIGN.md for the measured table).
+Appends JSON lines to benchmarks/results.jsonl.  Run SOLO (the axon tunnel
+serializes TPU clients).
 """
 
 from __future__ import annotations
 
-import json
-import os
-import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _common import pendulum_problem, record, setup_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
-
-RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
-
-
-def record(**kw):
-    row = {"t": time.strftime("%Y-%m-%d %H:%M:%S"), **kw}
-    with open(RESULTS, "a") as f:
-        f.write(json.dumps(row) + "\n")
-    print(json.dumps(row), flush=True)
+setup_cache()
 
 
 def main():
-    from ddp_tpu.models.pendulum import pendulum
-    from ddp_tpu.ocp import constraints, costs, dynamics
-    from ddp_tpu.ocp.problem import Problem
     from ddp_tpu.solver import al as al_mod
     from ddp_tpu.solver.batched import _backward_multi_reg, _backward_pallas_levels
     from ddp_tpu.solver.parallel_riccati import backward_pass_assoc
 
     dtype = jnp.float32
     B = 1024
-    model = pendulum(1.0, 1.0, dtype=dtype)
-    dyn = dynamics.euler(model, 0.01)
     rng = np.random.default_rng(0)
 
     for T in (32, 128, 512, 2048):
-        con = constraints.advance_time(
-            constraints.ConfigTarget(
-                model=model, target=jnp.asarray([3.14], dtype), active_ts=(T,)
-            ),
-            dyn,
-            times=2,
-        )
-        prob = Problem(
-            dynamics=dyn, cost=costs.quad_control(1.0, dtype=dtype),
-            constraint=con, horizon=T, second_order=False,
-        )  # fmt: skip
+        prob = pendulum_problem(T, second_order=False, dtype=dtype)
         x0s = jnp.asarray(
             np.stack([rng.uniform(-1, 1, B), np.zeros(B)], 1), dtype
         )
@@ -96,10 +67,10 @@ def main():
                 outs = [fn(derivs) for _ in range(N)]
                 jax.block_until_ready(outs[-1])
                 ms = (time.perf_counter() - t0) * 1e3 / N
-                record(metric="bwd_horizon_scaling", backend=name, T=T, B=B,
+                record("bwd_horizon_scaling", backend=name, T=T, B=B,
                        ms=round(ms, 3))
             except Exception as e:  # noqa: BLE001
-                record(metric="bwd_horizon_scaling", backend=name, T=T, B=B,
+                record("bwd_horizon_scaling", backend=name, T=T, B=B,
                        error=f"{type(e).__name__}: {e}"[:200])
 
 

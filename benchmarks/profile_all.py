@@ -8,32 +8,15 @@ benchmarks/results.jsonl.
 
 from __future__ import annotations
 
-import json
-import os
-import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _common import record, setup_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
-)
-
-RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.jsonl")
-
-
-def record(name, ms=None, **kw):
-    row = {"metric": name, "t": time.strftime("%Y-%m-%d %H:%M:%S"), **kw}
-    if ms is not None:
-        row["ms"] = round(ms, 4)
-    with open(RESULTS, "a") as f:
-        f.write(json.dumps(row) + "\n")
-    print(json.dumps(row), flush=True)
+setup_cache()
 
 
 def timed(fn, *args, n=20):

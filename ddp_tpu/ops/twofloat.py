@@ -36,8 +36,15 @@ class TF(NamedTuple):
 
 
 def _split_const(dtype) -> float:
-    # Dekker splitter: 2^ceil(p/2) + 1 for p mantissa bits
-    return float(2**12 + 1) if jnp.dtype(dtype) == jnp.float32 else float(2**27 + 1)
+    # Dekker splitter: 2^ceil(p/2) + 1 for p mantissa bits.  Only f32/f64
+    # are supported — for bf16/f16 the f64 splitter would silently destroy
+    # the error terms instead of widening precision.
+    dt = jnp.dtype(dtype)
+    if dt == jnp.float32:
+        return float(2**12 + 1)
+    if dt == jnp.float64:
+        return float(2**27 + 1)
+    raise TypeError(f"twofloat arithmetic supports f32/f64 only, got {dt}")
 
 
 def two_sum(a, b):
@@ -113,10 +120,13 @@ def div(x: TF, y: TF) -> TF:
 def sqrt(x: TF) -> TF:
     """One Newton refinement of the f32 sqrt (Karp's trick)."""
     a = jnp.sqrt(x.hi)
-    # r = (x − a²) / (2a);  sqrt ≈ a + r
+    # r = (x − a²) / (2a);  sqrt ≈ a + r.  Guard a == 0: the correction is
+    # 0/0 there (QD special-cases x == 0), and the guarded denominator also
+    # keeps NaN out of the unused jvp/vjp branch.
     a2 = mul(from_float(a), from_float(a))
     r = sub(x, a2)
-    corr = r.hi / (2.0 * a)
+    denom = jnp.where(a == 0.0, jnp.ones_like(a), 2.0 * a)
+    corr = jnp.where(a == 0.0, jnp.zeros_like(a), r.hi / denom)
     s, e = quick_two_sum(a, corr)
     return TF(s, e)
 

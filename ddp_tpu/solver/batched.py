@@ -272,6 +272,16 @@ def solve_batched(
     if forward == "pallas":
         from ddp_tpu.kernels.linesearch_flat import linesearch_pallas
 
+        if n_linesearch > 7:
+            import warnings
+
+            warnings.warn(
+                f"forward='pallas' supports at most 7 line-search candidates "
+                f"(8 sublanes = ladder + step-0 row); clamping {n_linesearch} "
+                "→ 7. The 1/64-and-smaller tail steps are dropped.",
+                stacklevel=2,
+            )
+
         def vls(xs_, us_, k_, K_, mults_, mu_):
             # mults_.origin == xs_[:, :-1] at both call sites (init /
             # update_origin), which the kernel's p = pe + pex·dx assumes.

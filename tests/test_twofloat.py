@@ -106,3 +106,12 @@ def test_pendulum_rollout_twofloat_tracks_f64():
     err_32 = abs(float(q32) - q64)
     # the pair recursion must beat plain f32 by a wide margin
     assert err_tf < err_32 / 10 or err_tf < 1e-6, (err_tf, err_32)
+
+
+def test_sqrt_zero_and_dtype_guard():
+    r = tf.sqrt(tf.from_float(jnp.asarray([0.0, 4.0], jnp.float32)))
+    np.testing.assert_array_equal(np.asarray(tf.to_float(r)), [0.0, 2.0])
+    import pytest
+
+    with pytest.raises(TypeError):
+        tf.two_prod(jnp.asarray(1.0, jnp.bfloat16), jnp.asarray(1.0, jnp.bfloat16))
