@@ -36,7 +36,11 @@ class MPCStep(NamedTuple):
 
 
 def make_mpc_step(
-    problem, params: SolverParams, method=Method.PRIMAL_DUAL_AFFINE, unroll: int = 4
+    problem,
+    params: SolverParams,
+    method=Method.PRIMAL_DUAL_AFFINE,
+    unroll: int = 4,
+    backward: str = "sweep",
 ):
     """Build the jitted replan function: (x_measured, carry) → MPCStep.
 
@@ -53,6 +57,7 @@ def make_mpc_step(
             us_init=carry.us_warm[None],
             method=method,
             unroll=unroll,
+            backward=backward,
         )
         us = res.us[0]
         # shift warm start: drop u_0, repeat the tail control
@@ -79,6 +84,7 @@ def make_batch_mpc_step(
     mesh,
     method=Method.PRIMAL_DUAL_AFFINE,
     unroll: int = 1,
+    backward: str = "sweep",
 ):
     """Fleet MPC: replan a batch of scenarios sharded over a device mesh.
 
@@ -92,7 +98,8 @@ def make_batch_mpc_step(
 
     def shard_fn(x, us_warm):
         res = solve_batched(
-            problem, params, x, us_init=us_warm, method=method, unroll=unroll
+            problem, params, x, us_init=us_warm, method=method, unroll=unroll,
+            backward=backward,
         )
         us_next = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
         n_total = jax.lax.psum(x.shape[0], "batch")

@@ -19,6 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+# fleet-scale shard_map program: the persistent compile cache makes reruns
+# load in seconds instead of recompiling (~minutes cold through the tunnel)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
 from ddp_tpu.models.pendulum import pendulum
 from ddp_tpu.ocp import constraints, costs, dynamics
 from ddp_tpu.ocp.problem import Problem
@@ -46,11 +53,13 @@ def main():
         horizon=H,
         second_order=False,
     )
-    params = SolverParams(max_iterations=3, threshold=1e-4, mu=1e4)
+    # iterations are nearly free through the pallas backward (the fixed
+    # cost dominates); 6 converges the fleet within a few replans
+    params = SolverParams(max_iterations=6, threshold=1e-4, mu=1e4)
 
     n_dev = len(jax.devices())
     mesh = make_batch_mesh(n_dev)
-    step = make_batch_mpc_step(problem, params, mesh)
+    step = make_batch_mpc_step(problem, params, mesh, backward="pallas")
     B = n_dev * 512
     sh = NamedSharding(mesh, P("batch"))
     rng = np.random.default_rng(0)
@@ -61,16 +70,30 @@ def main():
 
     u0, us_warm, mc = step(x, us_warm)  # compile
     jax.block_until_ready(u0)
+
+    # blocking protocol: wait for u0 each replan (a real plant in the loop);
+    # through the dev tunnel this is dominated by the ~28 ms round trip
     t0 = time.perf_counter()
     n_replans = 20
     for _ in range(n_replans):
         u0, us_warm, mc = step(x, us_warm)
         x = x.at[:, 0].add(0.01 * x[:, 1])  # stand-in plant step
         jax.block_until_ready(u0)
-    dt = (time.perf_counter() - t0) / n_replans
+    dt_block = (time.perf_counter() - t0) / n_replans
+
+    # sustained protocol: keep the device queue full (the on-device cost —
+    # what local-attached TPU hardware sees per replan)
+    t0 = time.perf_counter()
+    for _ in range(n_replans):
+        u0, us_warm, mc = step(x, us_warm)
+    jax.block_until_ready(u0)
+    dt_sust = (time.perf_counter() - t0) / n_replans
+
     print(
-        f"{B} scenarios on {n_dev} device(s): {dt * 1e3:.2f} ms/replan "
-        f"({B / dt:.0f} scenario-replans/s), mean |eq| = {float(mc):.2e}"
+        f"{B} scenarios on {n_dev} device(s): "
+        f"{dt_block * 1e3:.2f} ms/replan blocking ({B / dt_block:.0f} scenario-replans/s), "
+        f"{dt_sust * 1e3:.2f} ms/replan sustained ({B / dt_sust:.0f}/s), "
+        f"mean |eq| = {float(mc):.2e}"
     )
 
 

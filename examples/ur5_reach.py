@@ -21,6 +21,9 @@ from ddp_tpu.ocp.problem import Problem
 
 
 def main():
+    # f64 reference solve — run on CPU (the TPU path is f32; emulated f64
+    # through the tunnel compiles for minutes for no benefit)
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     arm = ur5()
     H = 12
