@@ -17,12 +17,15 @@ import numpy as np
 
 BATCH = 4096
 HORIZON = 32
-# 14 fixed AL-DDP iterations: with the Pallas batch-on-lanes backward the
-# per-iteration cost is almost fully amortized (34 ms @ 10 iters → 36 ms @
-# 14), and at 14 every sample reaches ‖eq‖ < 1e-2 (p99 = 2.7e-3) — strictly
-# better convergence than the XLA-sweep backend got at 10 iterations
-# (benchmarks/results.jsonl backend_sweep + iteration-budget sweeps).
-ITERS = 14
+# 8 fixed AL-DDP iterations with the bounded inner loop (inner_iters_max=1:
+# multiplier/μ update gate opens every iteration).  Round-2 root-cause work
+# (docs/DESIGN.md "The bf16 plateau anomaly") showed the old 14-iteration
+# budget was compensating for a schedule that deferred updates when the
+# gains are computed accurately; with K=1 the same solve reaches 100%
+# feasibility at p99 ‖eq‖ = 1.4e-4 in 8 iterations (results.jsonl
+# schedule_sweep rows) — tighter than 14 iterations ever got (2.7e-3).
+ITERS = 8
+INNER_K = 1
 TARGET = 10_000.0  # solves/s/chip (BASELINE.json)
 
 
@@ -63,7 +66,9 @@ def main() -> None:
         horizon=HORIZON,
         second_order=False,
     )
-    params = SolverParams(max_iterations=ITERS, threshold=1e-5, mu=1e4)
+    params = SolverParams(
+        max_iterations=ITERS, threshold=1e-5, mu=1e4, inner_iters_max=INNER_K
+    )
 
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(
@@ -107,6 +112,11 @@ def main() -> None:
         "vs_baseline": round(solves_per_s / TARGET, 3),
         "frac_feasible_1e-2": round(frac_feasible, 4),
         "backend": backend,
+        # protocol stamp: pipelined = back-to-back enqueue, one final block
+        # (older rows without these keys were per-call blocking at iters=10)
+        "timing": "pipelined",
+        "iters": ITERS,
+        "inner_iters_max": INNER_K,
     }
     if fallback_error:
         row["fallback_error"] = fallback_error

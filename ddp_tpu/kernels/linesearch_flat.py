@@ -207,15 +207,40 @@ def _ls_kernel(
 def _pack_problem(problem, dtype):
     """Flatten the problem pytree's array leaves into one [P] vector plus a
     per-sample reconstruction function (Pallas kernels may not capture traced
-    constants — the leaves ride in as an input instead)."""
+    constants — the leaves ride in as an input instead).
+
+    The pack dtype is the promotion of the solve dtype with every float leaf
+    dtype, so wider-float leaves survive the round trip; leaves that cannot
+    be represented exactly in the pack dtype (e.g. int32 beyond the float's
+    integer span) raise instead of silently truncating."""
     leaves, treedef = jax.tree.flatten(problem)
+    pack_dt = jnp.dtype(dtype)
+    for leaf in leaves:
+        dt = jnp.asarray(leaf).dtype
+        if jnp.issubdtype(dt, jnp.floating):
+            pack_dt = jnp.promote_types(pack_dt, dt)
     meta = []
     flat = []
     for leaf in leaves:
         arr = jnp.asarray(leaf)
+        if jnp.issubdtype(arr.dtype, jnp.integer):
+            # exactness check: concrete ints round-trip-verified eagerly;
+            # traced ints can't be checked → reject out of range dtypes
+            span = 2 ** (jnp.finfo(pack_dt).nmant + 1)
+            if isinstance(arr, jax.core.Tracer):
+                if jnp.iinfo(arr.dtype).max >= span:
+                    raise TypeError(
+                        f"traced integer leaf {arr.dtype} may exceed the "
+                        f"exact-integer span of pack dtype {pack_dt}"
+                    )
+            elif np.any(np.abs(np.asarray(arr, np.int64)) >= span):
+                raise TypeError(
+                    f"integer leaf with values beyond ±2^{jnp.finfo(pack_dt).nmant + 1}"
+                    f" cannot ride exactly in pack dtype {pack_dt}"
+                )
         meta.append((arr.shape, int(np.prod(arr.shape)) if arr.ndim else 1, arr.dtype))
-        flat.append(jnp.ravel(arr).astype(dtype))
-    pvec = jnp.concatenate(flat) if flat else jnp.zeros((1,), dtype)
+        flat.append(jnp.ravel(arr).astype(pack_dt))
+    pvec = jnp.concatenate(flat) if flat else jnp.zeros((1,), pack_dt)
 
     def rebuild(pcol):
         out, o = [], 0

@@ -76,6 +76,35 @@ class ConfigTarget:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class StateTarget:
+    """eq = x_target ⊖ x on the full state tangent space (ne = 2·nv):
+    configuration AND velocity — "arrive at rest".  The reference's config
+    constraint (problem.hpp:745-864) pins only q; receding-horizon control
+    with a position-only terminal constraint plans trajectories that pass
+    THROUGH the target with residual velocity and never settles, so the MPC
+    drivers want this variant."""
+
+    model: object
+    target: jax.Array  # [nq + nv] full state
+    active_ts: tuple = dataclasses.field(default=(), metadata={"static": True})
+
+    @property
+    def ne(self) -> int:
+        return 2 * self.model.nv
+
+    def value(self, t, x, u):
+        del t, u
+        q, v = state_split(self.model, x)
+        qt = self.target[: q.shape[0]]
+        vt = self.target[q.shape[0] :]
+        return jnp.concatenate([self.model.difference(qt, q), v - vt])
+
+    def active(self, t: int) -> bool:
+        return t in self.active_ts
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class FrameTarget:
     """eq = frame_position(frame_id, q) − p_target (3-D end-effector target).
 
@@ -188,3 +217,45 @@ def advance_time(constraint, dynamics, times: int = 1):
     for _ in range(times):
         constraint = AdvanceTime(inner=constraint, dynamics=dynamics)
     return constraint
+
+
+@dataclasses.dataclass(frozen=True)
+class EveryK:
+    """Periodic schedule: active at t = offset, offset+k, offset+2k, …
+
+    ≙ periodic_row_filter_t (indexer.hpp:395-448).  Usable anywhere an
+    ``active_ts`` tuple is accepted — activity tests are ``t in schedule``,
+    which dispatches to ``__contains__``; as a frozen hashable dataclass it
+    is valid static pytree metadata."""
+
+    k: int
+    offset: int = 0
+
+    def __contains__(self, t) -> bool:
+        return t >= self.offset and (t - self.offset) % self.k == 0
+
+    def __iter__(self):
+        raise TypeError("EveryK is unbounded; iterate the horizon instead")
+
+
+@dataclasses.dataclass(frozen=True)
+class InRange:
+    """Half-open range schedule: active for begin <= t < end.
+
+    ≙ range_row_filter_t (indexer.hpp:328-393)."""
+
+    begin: int
+    end: int
+
+    def __contains__(self, t) -> bool:
+        return self.begin <= t < self.end
+
+
+def every_k(k: int, offset: int = 0) -> EveryK:
+    """Schedule active every k-th step starting at ``offset``."""
+    return EveryK(k=k, offset=offset)
+
+
+def in_range(begin: int, end: int) -> InRange:
+    """Schedule active on the half-open step range [begin, end)."""
+    return InRange(begin=begin, end=end)

@@ -166,3 +166,31 @@ def mv(A, x) -> TF:
     """Compensated matrix-vector product [m,n]·[n] → TF [m]."""
     p, e = two_prod(A, x[None, :])
     return sum_(TF(p, e), axis=1)
+
+
+def tT(x: TF) -> TF:
+    """Transpose of a TF matrix (exact)."""
+    return TF(x.hi.T, x.lo.T)
+
+
+def matvec(A: TF, x: TF) -> TF:
+    """TF matrix · TF vector: [m,n]·[n] → [m], compensated accumulation."""
+    p = mul(A, TF(x.hi[None, :], x.lo[None, :]))
+    return sum_(p, axis=1)
+
+
+def matmat(A: TF, B: TF) -> TF:
+    """TF matrix · TF matrix: [m,k]·[k,n] → [m,n], compensated accumulation.
+    Materializes the [m,k,n] product tensor — small-dims use only."""
+    p = mul(
+        TF(A.hi[:, :, None], A.lo[:, :, None]),
+        TF(B.hi[None, :, :], B.lo[None, :, :]),
+    )
+    return sum_(p, axis=1)
+
+
+def contract0(v: TF, T3: TF) -> TF:
+    """Σ_o v_o · T3[o, :, :] — the backward pass's rank-3 contraction
+    (≙ tensor.hpp:179-235 noalias_contract_add_outdim) in TF."""
+    p = mul(TF(v.hi[:, None, None], v.lo[:, None, None]), T3)
+    return sum_(p, axis=0)

@@ -121,7 +121,10 @@ def optimality_obj(problem, derivs, mult_val, mult_jac, mu) -> jax.Array:
         derivs.lx, derivs.lu, derivs.fx, derivs.fu,
         derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac,
     )  # fmt: skip
-    _, scores = jax.lax.scan(step, derivs.lfx, inputs, reverse=True)
+    # HIGHEST matmul precision: this measure gates the multiplier updates —
+    # bf16 matvec noise here stalls/trips the schedule nondeterministically
+    with jax.default_matmul_precision("highest"):
+        _, scores = jax.lax.scan(step, derivs.lfx, inputs, reverse=True)
     return jnp.max(scores)
 
 
@@ -139,5 +142,6 @@ def optimality_lag(problem, derivs, mult_val, mult_jac) -> jax.Array:
         derivs.lx, derivs.lu, derivs.fx, derivs.fu,
         derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac,
     )  # fmt: skip
-    _, scores = jax.lax.scan(step, derivs.lfx, inputs, reverse=True)
+    with jax.default_matmul_precision("highest"):
+        _, scores = jax.lax.scan(step, derivs.lfx, inputs, reverse=True)
     return jnp.max(scores)

@@ -48,18 +48,25 @@ class BatchSolveResult(NamedTuple):
     mu: jax.Array  # [B]
 
 
-def _backward_multi_reg(derivs, mult_val, mult_jac, mu, reg, n_levels=4, unroll=1):
+def _backward_multi_reg(
+    derivs, mult_val, mult_jac, mu, reg, n_levels=4, unroll=1, sweep_fn=None
+):
     """Static-control-flow analog of the reference's Cholesky-retry loop
     (ddp_bwd.ipp:26, 105-132): run the sweep at several regularization levels
     in parallel — [reg, 2·max(reg,μ), 32·max(reg,μ), …] — and keep the
     smallest level that factorizes everywhere.  Returns (k, K, ok, reg_used).
+
+    ``sweep_fn(derivs, mult_val, mult_jac, mu, reg) -> (k, K, ok)`` swaps the
+    sweep implementation (e.g. the double-float precise.backward_sweep_tf).
     """
     base = jnp.maximum(reg, mu) * 2.0
     dtype = derivs.lx.dtype
     scales = 16.0 ** jnp.arange(n_levels - 1, dtype=dtype)
     levels = jnp.concatenate([reg[None], base * scales])
+    if sweep_fn is None:
+        sweep_fn = lambda d, v, j, m, r: _backward_sweep(d, v, j, m, r, unroll=unroll)
     ks, Ks, oks = jax.vmap(
-        lambda r: _backward_sweep(derivs, mult_val, mult_jac, mu, r, unroll=unroll)
+        lambda r: sweep_fn(derivs, mult_val, mult_jac, mu, r)
     )(levels)
     idx = jnp.argmax(oks)  # first (smallest-reg) successful level
     any_ok = jnp.any(oks)
@@ -67,7 +74,13 @@ def _backward_multi_reg(derivs, mult_val, mult_jac, mu, reg, n_levels=4, unroll=
 
 
 def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
-    """One Riccati sweep (no retry loop): returns (k, K, ok)."""
+    """One Riccati sweep (no retry loop): returns (k, K, ok).
+
+    Matmuls are pinned to HIGHEST precision: at these dims the cost is
+    negligible, and the default bf16 MXU path injects ~0.4% relative noise
+    into the gains that compounds through the T-step recursion (measured:
+    2.2% gain error at T=32 — docs/DESIGN.md "The bf16 plateau anomaly"),
+    making the XLA backend disagree with the (exact-f32) Pallas kernel."""
     nu = derivs.lu.shape[1]
     dtype = derivs.lx.dtype
     I_u = jnp.eye(nu, dtype=dtype)
@@ -110,9 +123,10 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
         Vxx_new = Qxx + Qux.T @ K
         return (Vx_new, Vxx_new), (k, K, ok_t)
 
-    _, (ks, Ks, oks) = jax.lax.scan(
-        step, (derivs.lfx, derivs.lfxx), inputs, reverse=True, unroll=unroll
-    )
+    with jax.default_matmul_precision("highest"):
+        _, (ks, Ks, oks) = jax.lax.scan(
+            step, (derivs.lfx, derivs.lfxx), inputs, reverse=True, unroll=unroll
+        )
     return ks, Ks, jnp.all(oks)
 
 
@@ -131,7 +145,14 @@ def _backward_pallas_levels(
     B, T = derivs.lx.shape[0], derivs.lx.shape[1]
     n, m, e = derivs.lx.shape[-1], derivs.lu.shape[-1], derivs.eq.shape[-1]
     if block_b is None:
-        block_b = B if B <= 512 else 512
+        if B <= 512:
+            block_b = B
+        else:
+            # largest divisor of B that is ≤ 512, preferring lane-aligned
+            # multiples of 128 (a non-divisor default would hard-fail)
+            divisors = [d for d in range(512, 0, -1) if B % d == 0]
+            aligned = [d for d in divisors if d % 128 == 0]
+            block_b = (aligned or divisors)[0]
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
     # The kernel holds the whole time axis of its block in VMEM; for long
@@ -172,17 +193,34 @@ def _backward_pallas_levels(
     return k_bt, K_bt, ok_acc, reg_used
 
 
-def _linesearch_sweep(problem, xs, us, k, K, mults, mu, n_candidates, unroll=1):
+def _linesearch_sweep(
+    problem, xs, us, k, K, mults, mu, n_candidates, unroll=1, precise=False
+):
     """Parallel line-search: rollout all candidate steps, pick the largest
-    accepted one; keep the incumbent trajectory when none is accepted."""
+    accepted one; keep the incumbent trajectory when none is accepted.
+    ``precise`` evaluates the acceptance sums in double-float (the f32 floor
+    of the μ‖eq‖² terms otherwise masks small true decreases)."""
     dtype = xs.dtype
     steps = 2.0 ** -jnp.arange(n_candidates, dtype=dtype)  # 1, ½, ¼, …
-    cost_old = jnp.sum(al_mod.al_costs(problem, xs, us, mults, mu))
+    if precise:
+        from ddp_tpu.ops import twofloat as tf
+        from ddp_tpu.solver.precise import al_cost_total_tf
 
-    def rollout_at(step):
-        xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step, unroll=unroll)
-        cost = jnp.sum(al_mod.al_costs(problem, xs_c, us_c, mults, mu))
-        return xs_c, us_c, cost
+        cost_old_tf = al_cost_total_tf(problem, xs, us, mults, mu)
+
+        def rollout_at(step):
+            xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step, unroll=unroll)
+            cost = al_cost_total_tf(problem, xs_c, us_c, mults, mu)
+            return xs_c, us_c, tf.to_float(tf.sub(cost, cost_old_tf))
+
+        cost_old = jnp.zeros((), dtype)
+    else:
+        cost_old = jnp.sum(al_mod.al_costs(problem, xs, us, mults, mu))
+
+        def rollout_at(step):
+            xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step, unroll=unroll)
+            cost = jnp.sum(al_mod.al_costs(problem, xs_c, us_c, mults, mu))
+            return xs_c, us_c, cost
 
     xs_cand, us_cand, cost_cand = jax.vmap(rollout_at)(steps)
     accepted = cost_cand - cost_old <= 0
@@ -206,6 +244,7 @@ class _BatchCarry(NamedTuple):
     n: jax.Array
     oo_prev: jax.Array
     just_changed: jax.Array
+    inner: jax.Array  # [B] inner iterations since the last (p, μ) change
 
 
 def _bwhere(c, a, b):
@@ -219,7 +258,9 @@ def solve_batched(
     x0s: jax.Array,  # [B, nx]
     us_init: jax.Array | None = None,  # [B, T, nu]
     method: Method = Method.PRIMAL_DUAL_AFFINE,
-    n_linesearch: int = 8,
+    n_linesearch: int | None = None,
+    # default: 8 candidates (1 … 1/128) on the XLA sweep; 7 (1 … 1/64) on
+    # forward='pallas', whose 8 sublanes carry the ladder + the step-0 row
     unroll: int = 1,
     backward: str = "sweep",
     # "sweep": per-sample multi-reg XLA scan (default, works for any problem)
@@ -228,12 +269,15 @@ def solve_batched(
     # "pallas": batch-on-lanes Pallas kernel sweep; the whole batch runs one
     #   kernel launch per reg level instead of T fused XLA kernels per sweep.
     #   Supports full second-order DDP (rank-3 contraction terms unrolled)
+    # "tf": double-float sweep (solver/precise.py) — extended-precision
+    #   gains on f32 inputs; the on-TPU analog of the reference's MPFR runs
     forward: str = "sweep",
     # "sweep": XLA scan rollout, candidates vmapped (works for any problem)
     # "pallas": fused line-search kernel (kernels/linesearch_flat.py) — one
     #   launch for the whole sweep; flat-lane (closed-form) models only
     block_b: int | None = None,  # pallas batch block (lane) size
     interpret: bool = False,  # pallas interpret mode (CPU tests)
+    precise_cost: bool = False,  # double-float line-search acceptance sums
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
@@ -272,7 +316,9 @@ def solve_batched(
     if forward == "pallas":
         from ddp_tpu.kernels.linesearch_flat import linesearch_pallas
 
-        if n_linesearch > 7:
+        if n_linesearch is None:
+            n_linesearch = 7  # documented pallas default (8 sublanes)
+        elif n_linesearch > 7:
             import warnings
 
             warnings.warn(
@@ -294,9 +340,12 @@ def solve_batched(
                 interpret=interpret,
             )  # fmt: skip
     else:
+        if n_linesearch is None:
+            n_linesearch = 8
         vls = jax.vmap(
             lambda xs_, us_, k_, K_, mults_, mu_: _linesearch_sweep(
-                problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch, unroll=unroll
+                problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch,
+                unroll=unroll, precise=precise_cost,
             )
         )
     v_oo = jax.vmap(
@@ -319,6 +368,14 @@ def solve_batched(
                 derivs, mv, mj, mu_, reg_, block_b=block_b, interpret=interpret,
                 second_order=problem.second_order,
             )
+        if backward == "tf":
+            from ddp_tpu.solver.precise import backward_sweep_tf
+
+            return jax.vmap(
+                lambda d, v_, j_, m_, r_: _backward_multi_reg(
+                    d, v_, j_, m_, r_, sweep_fn=backward_sweep_tf
+                )
+            )(derivs, mv, mj, mu_, reg_)
         return jax.vmap(
             lambda d, v_, j_, m_, r_: _backward_multi_reg(d, v_, j_, m_, r_, unroll=unroll)
         )(derivs, mv, mj, mu_, reg_)
@@ -365,17 +422,29 @@ def solve_batched(
 
         plateau = jnp.logical_and(oo >= 0.1 * c.oo_prev, ~c.just_changed)
         gate = jnp.logical_or(oo < jnp.maximum(c.w, w_min), plateau)
+        if params.inner_iters_max is not None:
+            # bounded inner loop: force the gate open after K inner Newton
+            # iterations (accurate gains otherwise defer updates — see
+            # docs/DESIGN.md "The bf16 plateau anomaly")
+            gate = jnp.logical_or(gate, c.inner >= params.inner_iters_max)
         upd_s = jnp.logical_and(~done, jnp.logical_and(gate, oc < c.n))
         upd_f = jnp.logical_and(~done, jnp.logical_and(gate, oc >= c.n))
 
         # where-select (not gain·delta): a NaN delta under a closed gate
-        # must not leak into the multipliers
-        val_upd = mults.val + c.mu[:, None, None] * (
-            derivs.eq + jnp.einsum("btou,btu->bto", derivs.equ, fbm.val)
+        # must not leak into the multipliers.  PRIMAL drops the feedback
+        # correction: p += μ·eq (zero multiplier feedback, ddp.hpp:365-371).
+        fb_term = (
+            jnp.zeros_like(derivs.eq)
+            if method is Method.PRIMAL
+            else jnp.einsum("btou,btu->bto", derivs.equ, fbm.val)
         )
-        jac_upd = mults.jac + c.mu[:, None, None, None] * (
-            derivs.eqx + jnp.einsum("btou,btuj->btoj", derivs.equ, fbm.jac)
+        fb_term_jac = (
+            jnp.zeros_like(derivs.eqx)
+            if method is Method.PRIMAL
+            else jnp.einsum("btou,btuj->btoj", derivs.equ, fbm.jac)
         )
+        val_upd = mults.val + c.mu[:, None, None] * (derivs.eq + fb_term)
+        jac_upd = mults.jac + c.mu[:, None, None, None] * (derivs.eqx + fb_term_jac)
         mults = mults._replace(
             val=_bwhere(upd_s, val_upd, mults.val),
             jac=constrain_jac(_bwhere(upd_s, jac_upd, mults.jac)),
@@ -422,6 +491,11 @@ def solve_batched(
                 n=n_new,
                 oo_prev=oo,
                 just_changed=jnp.logical_or(upd_s, upd_f),
+                inner=jnp.where(
+                    jnp.logical_or(upd_s, upd_f),
+                    jnp.ones_like(c.inner),
+                    c.inner + 1,
+                ),
             ),
             None,
         )
@@ -437,6 +511,7 @@ def solve_batched(
         n=n,
         oo_prev=jnp.full((B,), jnp.inf, dtype),
         just_changed=jnp.ones((B,), bool),
+        inner=jnp.ones((B,), jnp.int32),  # the pre-loop bwd/fwd already ran
     )
     final, _ = jax.lax.scan(
         iteration,

@@ -97,9 +97,13 @@ def backward_pass(
             dV_t = jnp.dot(k, Qu)
             return (Vx_new, Vxx_new), (k, K, ok_t, dV_t)
 
-        (_, _), (ks, Ks, oks, dVs) = jax.lax.scan(
-            step, (derivs.lfx, derivs.lfxx), inputs, reverse=True
-        )
+        # HIGHEST matmul precision: the default bf16 MXU path injects ~0.4%
+        # relative noise per step that compounds through the recursion
+        # (docs/DESIGN.md "The bf16 plateau anomaly")
+        with jax.default_matmul_precision("highest"):
+            (_, _), (ks, Ks, oks, dVs) = jax.lax.scan(
+                step, (derivs.lfx, derivs.lfxx), inputs, reverse=True
+            )
         return ks, Ks, jnp.all(oks), jnp.sum(dVs)
 
     ks0, Ks0, ok0, dV0 = sweep(mu, reg)

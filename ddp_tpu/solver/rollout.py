@@ -59,13 +59,32 @@ def forward_pass(
     mu,
     do_linesearch: bool = True,
     step_min: float = 1e-10,
+    precise: bool = False,
 ) -> ForwardResult:
-    cost_old = jnp.sum(al_costs(problem, xs_old, us_old, mults, mu))
+    """``precise`` evaluates the acceptance sums in double-float
+    (solver/precise.py): in f32 the μ‖eq‖² terms drown the control-cost
+    differences the test must resolve once μ is large."""
+    if precise:
+        from ddp_tpu.solver.precise import al_cost_total_tf
+        from ddp_tpu.ops import twofloat as tf
 
-    def try_step(step):
-        xs, us = feedback_rollout(problem, xs_old, us_old, k, K, step)
-        cost_new = jnp.sum(al_costs(problem, xs, us, mults, mu))
-        return xs, us, cost_new
+        cost_old_tf = al_cost_total_tf(problem, xs_old, us_old, mults, mu)
+
+        def try_step(step):
+            xs, us = feedback_rollout(problem, xs_old, us_old, k, K, step)
+            cost_new = al_cost_total_tf(problem, xs, us, mults, mu)
+            # compensated Δ, rounded once at the comparison
+            delta = tf.to_float(tf.sub(cost_new, cost_old_tf))
+            return xs, us, delta
+
+        cost_old = jnp.zeros((), xs_old.dtype)  # deltas are already relative
+    else:
+        cost_old = jnp.sum(al_costs(problem, xs_old, us_old, mults, mu))
+
+        def try_step(step):
+            xs, us = feedback_rollout(problem, xs_old, us_old, k, K, step)
+            cost_new = jnp.sum(al_costs(problem, xs, us, mults, mu))
+            return xs, us, cost_new
 
     one = jnp.ones((), dtype=xs_old.dtype)
     xs1, us1, c1 = try_step(one)

@@ -34,6 +34,17 @@ class Method(enum.Enum):
     PRIMAL and PRIMAL_DUAL_CONSTANT keep the multiplier state-independent
     (jac pinned to zero, the reference's zero_t/constant split); AFFINE gives
     multipliers a state-feedback term re-expanded each iteration.
+
+    PRIMAL additionally drops the control-feedback correction from the AL
+    multiplier update: p += μ·eq instead of p += μ·(eq + eq_u·k).  This is
+    the distinction the reference *declares* via
+    ``multiplier_feedback_sequence`` — primal maps to
+    ``no_multiplier_feedback_t``/``zero_t`` (ddp.hpp:365-371, zero.hpp:8-42)
+    — though its ``zero_feedback_multipliers()`` accessor (ddp.hpp:388) has
+    no call site: as shipped, the reference's update_derivatives always
+    feeds the control feedback (ddp.hpp:683-689), making primal behaviorally
+    identical to constant there.  We implement the declared semantics, which
+    also matches the classic first-order AL update p += μ·eq.
     """
 
     PRIMAL = "primal"
@@ -55,6 +66,13 @@ class SolverParams(NamedTuple):
       failed to drop 10× since the previous iterate *and* the previous
       iteration did not change (p, μ), the inner Newton solve is at its
       numerical floor and the multiplier-update gate opens.
+    - ``inner_iters_max``: bound on inner Newton iterations between
+      multiplier/μ updates (classic bounded-inner-loop AL).  None → the gate
+      opens only via w/plateau, the reference's rule.  Small fixed budgets
+      (the batched bench) want 1-2: with *accurate* gains the inner measure
+      keeps improving 10×/iter, so the plateau never trips and updates fire
+      too late to build feasibility in 10 iterations — see
+      docs/DESIGN.md "The bf16 plateau anomaly".
     """
 
     max_iterations: int
@@ -64,6 +82,7 @@ class SolverParams(NamedTuple):
     w: float | None = None
     n: float | None = None
     w_min: float | None = None
+    inner_iters_max: int | None = None
 
 
 class SolveStats(NamedTuple):
@@ -91,7 +110,15 @@ def solve(
     x_init: jax.Array,
     us_init: jax.Array | None = None,
     method: Method = Method.PRIMAL_DUAL_AFFINE,
+    precise: bool = False,
+    mults_init_jac: jax.Array | None = None,
 ) -> SolveResult:
+    """``precise=True`` runs the finite-precision-critical stages in
+    double-float (solver/precise.py): TF Riccati sweep, TF line-search
+    acceptance sums, TF optimality reductions.  The TPU-native analog of
+    instantiating the reference at MPFR scalars (test/pendulum_ddp.cpp:15-17)
+    — same algorithm, wider accumulators, still f32 storage and Pallas/VPU
+    ops."""
     T, nu, ne, ndx = problem.horizon, problem.nu, problem.ne, problem.ndx
     dtype = x_init.dtype
     model = problem.model
@@ -114,17 +141,33 @@ def solve(
     )
 
     affine = method is Method.PRIMAL_DUAL_AFFINE
-    mults = al_mod.init_multipliers(problem, xs)
+    # mults_init_jac reproduces the reference's random multiplier-jac
+    # startup (ddp.hpp:760-764); default zeros converges to the same optimum
+    # (tests/test_methods_schedules.py pins that claim)
+    mults = al_mod.init_multipliers(problem, xs, jac_init=mults_init_jac)
+
+    if precise:
+        from ddp_tpu.solver import precise as precise_mod
+
+        bwd = precise_mod.backward_pass_tf
+        opt_obj_fn = precise_mod.optimality_obj_tf
+        opt_lag_fn = precise_mod.optimality_lag_tf
+    else:
+        bwd = backward_pass
+        opt_obj_fn = al_mod.optimality_obj
+        opt_lag_fn = al_mod.optimality_lag
 
     def constrain_jac(jac):
         # constant-multiplier methods never grow a state-feedback term
         return jac if affine else jnp.zeros_like(jac)
 
+    mults = mults._replace(jac=constrain_jac(mults.jac))
+
     # --- pre-loop: derivatives → backward → forward (ddp.hpp:768-773) ---
     derivs = problem.derivatives(xs, us)
-    bres = backward_pass(derivs, mults.val, mults.jac, mu, reg)
+    bres = bwd(derivs, mults.val, mults.jac, mu, reg)
     mu = bres.mu
-    fwd = forward_pass(problem, xs, us, bres.k, bres.K, mults, mu)
+    fwd = forward_pass(problem, xs, us, bres.k, bres.K, mults, mu, precise=precise)
     fb_val, fb_jac, fb_origin = bres.k, bres.K, xs[:-1]
     xs, us = fwd.xs, fwd.us
 
@@ -147,6 +190,7 @@ def solve(
         opt_obj_prev: jax.Array
         just_changed: jax.Array  # (p, μ) changed last iteration → give the
         # inner Newton solve at least one step before trusting a plateau
+        inner: jax.Array  # inner iterations since the last (p, μ) change
 
     def cond(c: Carry):
         return jnp.logical_and(c.it < params.max_iterations, ~c.done)
@@ -162,31 +206,41 @@ def solve(
             c.xs,
         )
 
-        opt_obj = al_mod.optimality_obj(problem, derivs, mults.val, mults.jac, c.mu)
+        opt_obj = opt_obj_fn(problem, derivs, mults.val, mults.jac, c.mu)
         opt_constr = al_mod.optimality_constr(derivs)
         # Stopping uses the μ-free Lagrangian stationarity measure
         # (optimality_lag, ddp.hpp:525-573): the reference's opt_obj carries
         # μ·eqᵀeq_u terms whose float floor is μ·eps — unusable as a
         # convergence test once μ has escalated past 1/eps.
-        opt_lag = al_mod.optimality_lag(problem, derivs, mults.val, mults.jac)
+        opt_lag = opt_lag_fn(problem, derivs, mults.val, mults.jac)
 
         done = jnp.logical_and(opt_lag < threshold, opt_constr < threshold)
         # inner-convergence gate: the reference's opt_obj < w, with a dtype
         # floor and plateau detection (see SolverParams docstring)
         plateau = jnp.logical_and(opt_obj >= 0.1 * c.opt_obj_prev, ~c.just_changed)
         gate = jnp.logical_or(opt_obj < jnp.maximum(c.w, w_min), plateau)
+        if params.inner_iters_max is not None:
+            gate = jnp.logical_or(gate, c.inner >= params.inner_iters_max)
         upd_success = jnp.logical_and(~done, jnp.logical_and(gate, opt_constr < c.n))
         upd_failure = jnp.logical_and(~done, jnp.logical_and(gate, opt_constr >= c.n))
 
         # first-order AL multiplier update (ddp.hpp:680-688):
         #   p   += μ (eq + eq_u·k);  p_x += μ (eq_x + eq_u·K)
+        # PRIMAL uses zero multiplier feedback (no_multiplier_feedback_t /
+        # zero_t, ddp.hpp:365-371): p += μ·eq only.
         gain = jnp.where(upd_success, c.mu, jnp.zeros_like(c.mu))
-        new_val = mults.val + gain * (
-            derivs.eq + jnp.einsum("tou,tu->to", derivs.equ, fbm.val)
+        fb_term = (
+            jnp.zeros_like(derivs.eq)
+            if method is Method.PRIMAL
+            else jnp.einsum("tou,tu->to", derivs.equ, fbm.val)
         )
-        new_jac = mults.jac + gain * (
-            derivs.eqx + jnp.einsum("tou,tuj->toj", derivs.equ, fbm.jac)
+        fb_term_jac = (
+            jnp.zeros_like(derivs.eqx)
+            if method is Method.PRIMAL
+            else jnp.einsum("tou,tuj->toj", derivs.equ, fbm.jac)
         )
+        new_val = mults.val + gain * (derivs.eq + fb_term)
+        new_jac = mults.jac + gain * (derivs.eqx + fb_term_jac)
         mults = mults._replace(val=new_val, jac=constrain_jac(new_jac))
 
         # Tolerance schedule.  The reference tightens n = opt_obj/μ^0.1 and
@@ -205,8 +259,10 @@ def solve(
         w_new = jnp.where(upd_success, c.w / c.mu, c.w)
 
         # --- backward / forward (ddp.hpp:804-826) ---
-        bres = backward_pass(derivs, mults.val, mults.jac, mu_new, c.reg)
-        fwd = forward_pass(problem, c.xs, c.us, bres.k, bres.K, mults, bres.mu)
+        bres = bwd(derivs, mults.val, mults.jac, mu_new, c.reg)
+        fwd = forward_pass(
+            problem, c.xs, c.us, bres.k, bres.K, mults, bres.mu, precise=precise
+        )
         reg = jnp.where(
             fwd.step >= 0.5,
             jnp.where(bres.reg / 2 < 1e-5, jnp.zeros_like(bres.reg), bres.reg / 2),
@@ -232,6 +288,11 @@ def solve(
             step=keep(c.step, fwd.step),
             opt_obj_prev=opt_obj,
             just_changed=jnp.logical_or(upd_success, upd_failure),
+            inner=jnp.where(
+                jnp.logical_or(upd_success, upd_failure),
+                jnp.ones_like(c.inner),
+                c.inner + 1,
+            ),
         )
 
     init = Carry(
@@ -252,6 +313,7 @@ def solve(
         step=fwd.step,
         opt_obj_prev=jnp.asarray(jnp.inf, dtype),
         just_changed=jnp.asarray(True),
+        inner=jnp.asarray(1, jnp.int32),  # the pre-loop bwd/fwd already ran
     )
     final = jax.lax.while_loop(cond, body, init)
 

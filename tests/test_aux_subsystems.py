@@ -69,20 +69,44 @@ def test_chronometer_and_trace(tmp_path):
 
 
 def test_mpc_receding_horizon():
-    """Warm-started replanning drives the pendulum to the target and keeps
-    it there (BASELINE configs[5]-class driver, single scenario)."""
-    problem = make_problem(horizon=30)
+    """Warm-started replanning drives the pendulum to the target AND settles
+    it there (BASELINE configs[5]-class driver, single scenario).
+
+    The terminal constraint pins the full state [q, v] = [3.14, 0]
+    (StateTarget): a position-only constraint admits closed loops that plan
+    through the target with residual velocity forever — the round-1 loose
+    tolerance was hiding exactly that."""
+    dtype = jnp.float64
+    model = pendulum(1.0, 1.0, dtype=dtype)
+    dyn = dynamics.euler(model, 0.01)
+    horizon = 30
+    con = constraints.advance_time(
+        constraints.StateTarget(
+            model=model,
+            target=jnp.asarray([3.14, 0.0], dtype=dtype),
+            active_ts=(horizon,),
+        ),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=horizon,
+    )
     params = SolverParams(max_iterations=4, threshold=1e-6, mu=1e6)
     step = make_mpc_step(problem, params)
     carry = init_carry(problem, dtype=jnp.float64)
     x = jnp.asarray([0.0, 0.0])
-    for t in range(60):
+    for t in range(120):
         out = step(x, carry)
         carry = out.carry
         x = problem.dynamics(0, x, out.u0)
-    # after 60 replans the pendulum should be swinging toward/at the target
+    # after 120 replans the pendulum must be settled AT the target, at rest
     assert np.isfinite(np.asarray(x)).all()
-    assert abs(float(x[0]) - 3.14) < 0.3
+    assert abs(float(x[0]) - 3.14) < 0.02, float(x[0])
+    assert abs(float(x[1])) < 0.1, float(x[1])
 
 
 def test_mpc_on_device_loop():
@@ -109,9 +133,11 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_mesh_sharded_batch_solve():
-    """Batch axis sharded over the 8-device CPU mesh with psum-reduced
-    global stats (the multi-chip scaling path, SURVEY.md §5)."""
+    """Batch axis sharded over the 8-device CPU mesh EQUALS the unsharded
+    vmap solve — a wrong psum, a sharding-axis mix-up, or a silently
+    replicated batch all fail the elementwise comparison here."""
     from ddp_tpu.parallel.mesh import batch_sharded_solve, make_batch_mesh
+    from ddp_tpu.solver.solve import solve
 
     problem = make_problem(dtype=jnp.float64, horizon=20)
     params = SolverParams(max_iterations=15, threshold=1e-8, mu=1e6)
@@ -120,8 +146,22 @@ def test_mesh_sharded_batch_solve():
     x0s = jnp.stack([jnp.array([0.05 * i, 0.0]) for i in range(16)])
     us, stats = fn(x0s)
     assert us.shape == (16, 20, 1)
-    assert np.isfinite(np.asarray(us)).all()
-    assert np.isfinite(float(stats["mean_constr"]))
+
+    ref = jax.jit(jax.vmap(lambda x: solve(problem, params, x)))(x0s)
+    # tolerance-level equality of controls (fusion reordering across
+    # shard_map can flip the while_loop's `done` one iteration early for a
+    # converged sample → ~1e-7 relative wiggle on |u| ~ 1e2; an axis mixup
+    # or silent replication would be off by orders of magnitude)
+    np.testing.assert_allclose(
+        np.asarray(us), np.asarray(ref.us), rtol=1e-5, atol=1e-6
+    )
+    # psum aggregates must equal the locally computed global reductions
+    np.testing.assert_allclose(
+        float(stats["mean_constr"]),
+        float(jnp.mean(ref.stats.opt_constr)),
+        rtol=1e-12,
+    )
+    assert int(stats["n_converged"]) == int(jnp.sum(ref.stats.converged))
 
 
 def test_batch_mpc_step_on_mesh():
@@ -138,14 +178,38 @@ def test_batch_mpc_step_on_mesh():
     step = make_batch_mpc_step(problem, params, mesh)
     B = 16
     sh = NamedSharding(mesh, P("batch"))
-    x = jax.device_put(jnp.zeros((B, 2)), sh)
+    # distinct per-sample starts so replication bugs can't hide
+    x = jax.device_put(
+        jnp.stack([jnp.array([0.03 * i, 0.0]) for i in range(B)]), sh
+    )
     us_warm = jax.device_put(jnp.zeros((B, 20, 1)), sh)
-    for _ in range(5):
+
+    from ddp_tpu.solver.batched import solve_batched
+
+    # unsharded reference state (device_get strips the mesh sharding)
+    x_ref = jnp.asarray(np.asarray(x))
+    us_warm_ref = jnp.asarray(np.asarray(us_warm))
+    for _ in range(3):
         u0, us_warm, mean_c = step(x, us_warm)
         x = jax.vmap(lambda xx, uu: problem.dynamics(0, xx, uu))(x, u0)
+        # unsharded reference replan on the same state
+        res = jax.jit(
+            lambda xr, ur: solve_batched(problem, params, xr, us_init=ur)
+        )(x_ref, us_warm_ref)
+        us_warm_ref = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(u0), np.asarray(res.us[:, 0]), rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            float(mean_c), float(jnp.mean(res.opt_constr)), rtol=1e-6, atol=1e-10
+        )
+        x_ref = jax.vmap(lambda xx, uu: problem.dynamics(0, xx, uu))(
+            x_ref, res.us[:, 0]
+        )
     assert u0.shape == (B, 1)
-    assert np.isfinite(np.asarray(x)).all()
-    assert np.isfinite(float(mean_c))
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(x_ref), rtol=1e-6, atol=1e-8
+    )
 
 
 def test_trajectory_config_target():

@@ -85,7 +85,8 @@ def test_batched_pallas_backend_matches_sweep():
     """backward="pallas" (interpret mode on CPU) reaches the same solution
     as the default XLA sweep backend at the full-solve level."""
     base = make_problem(dtype=jnp.float32)
-    # pallas backend is Gauss-Newton only
+    # GN mode here matches the bench config; the pallas backend also supports
+    # full second-order (covered by tests/test_pallas_riccati.py)
     problem = Problem(
         dynamics=base.dynamics,
         cost=base.cost,
