@@ -130,6 +130,45 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
     return ks, Ks, jnp.all(oks)
 
 
+def _pallas_block_plan(
+    *, B, T, n, m, e, second_order, itemsize, block_b=None, budget=8 * 2**20
+):
+    """VMEM plan for the batch-on-lanes kernel: pick (block_b, time_chunk)
+    so each program's [chunk, rows, block_b] slab stays under ``budget``
+    (~8 MB of the 16 MB scoped limit, leaving room for Mosaic's stack).
+
+    Two knobs, applied in order: shrink the lane block — needed at arm-class
+    dims, where rows grows ~n² and time-chunking alone bottoms out — then
+    split long horizons into reverse-order chunks carrying (Vx, Vxx) between
+    kernel launches."""
+    rows = 2 * (n + m + n * n + m * n + m * m) + e * (2 + 2 * n + m) + 2
+    if second_order:
+        rows += n * (n * n + m * n + m * m) + e * (n * n + m * n + m * m)
+
+    def min_chunk(t):
+        while t > 8 and t % 2 == 0:
+            t //= 2
+        return t
+
+    if block_b is None:
+        # divisors of B ≤ 512, preferring lane-aligned multiples of 128
+        # (a non-divisor default would hard-fail below)
+        divisors = [d for d in range(min(B, 512), 0, -1) if B % d == 0]
+        aligned = [d for d in divisors if d % 128 == 0]
+        candidates = aligned + [d for d in divisors if d % 128]
+        block_b = candidates[0]
+        for d in candidates:
+            if min_chunk(T) * rows * d * itemsize <= budget:
+                block_b = d
+                break
+    if B % block_b:
+        raise ValueError(f"batch {B} not divisible by block_b {block_b}")
+    chunk = T
+    while chunk > 8 and chunk % 2 == 0 and chunk * rows * block_b * itemsize > budget:
+        chunk //= 2
+    return block_b, chunk
+
+
 def _backward_pallas_levels(
     derivs, mult_val, mult_jac, mu, reg, n_levels=4, block_b=None, interpret=False,
     second_order=False,
@@ -144,29 +183,11 @@ def _backward_pallas_levels(
 
     B, T = derivs.lx.shape[0], derivs.lx.shape[1]
     n, m, e = derivs.lx.shape[-1], derivs.lu.shape[-1], derivs.eq.shape[-1]
-    if block_b is None:
-        if B <= 512:
-            block_b = B
-        else:
-            # largest divisor of B that is ≤ 512, preferring lane-aligned
-            # multiples of 128 (a non-divisor default would hard-fail)
-            divisors = [d for d in range(512, 0, -1) if B % d == 0]
-            aligned = [d for d in divisors if d % 128 == 0]
-            block_b = (aligned or divisors)[0]
-    if B % block_b:
-        raise ValueError(f"batch {B} not divisible by block_b {block_b}")
-    # The kernel holds the whole time axis of its block in VMEM; for long
-    # horizons split the sweep into reverse-order chunks carrying (Vx, Vxx)
-    # between launches so [chunk, rows, block_b] fits (~8 MB of the 16 MB
-    # scoped limit, leaving room for Mosaic's stack).
-    rows = 2 * (n + m + n * n + m * n + m * m) + e * (2 + 2 * n + m) + 2
-    if second_order:
-        rows += n * (n * n + m * n + m * m) + e * (n * n + m * n + m * m)
     itemsize = jnp.dtype(derivs.lx.dtype).itemsize
-    budget = 8 * 2**20
-    chunk = T
-    while chunk > 8 and chunk % 2 == 0 and chunk * rows * block_b * itemsize > budget:
-        chunk //= 2
+    block_b, chunk = _pallas_block_plan(
+        B=B, T=T, n=n, m=m, e=e, second_order=second_order,
+        itemsize=itemsize, block_b=block_b,
+    )
     packed = pack_batch_last(derivs, mult_val, mult_jac, second_order=second_order)
     base = jnp.maximum(reg, mu) * 2.0
     k = K = None

@@ -172,6 +172,88 @@ def test_solve_batched_pallas_second_order():
     )
 
 
+def test_pallas_backward_arm_dims_matches_xla():
+    """Arm-class dimensions (UR5: n=12, m=6, e=6 — BASELINE configs[3],
+    test/pinocchio_ddp.cpp:35-68): the kernel's unrolled index algebra,
+    Cholesky, and AL terms must match the XLA sweep well beyond pendulum
+    dims.  f64 interpret mode pins the math; the f32 TPU behavior is
+    benchmarked separately (benchmarks/arm_backend_sweep.py)."""
+    from ddp_tpu.models import base
+    from ddp_tpu.models.robots import ur5
+
+    B, H = 4, 10
+    arm = ur5()
+    dyn = dynamics.euler(arm, 0.01)
+    q0 = arm.neutral_configuration()
+    q_target = arm.integrate(q0, 0.05 * jnp.arange(1.0, 7.0))
+    con = constraints.advance_time(
+        constraints.ConfigTarget(model=arm, target=q_target, active_ts=(H,)),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=jnp.float64),
+        constraint=con,
+        horizon=H,
+        second_order=False,
+    )
+    x0 = base.state_pack(q0, jnp.zeros(arm.nv))
+    x0s = x0[None] + 0.02 * jax.random.normal(
+        jax.random.key(0), (B, problem.nx), jnp.float64
+    )
+    us = 0.05 * jax.random.normal(jax.random.key(1), (B, H, arm.nu), jnp.float64)
+    xs = jax.vmap(problem.rollout)(x0s, us)
+    derivs = jax.vmap(problem.derivatives)(xs, us)
+    mults = jax.vmap(lambda x: al_mod.init_multipliers(problem, x))(xs)
+    mults = mults._replace(
+        val=0.3 * jax.random.normal(jax.random.key(2), mults.val.shape, jnp.float64),
+        jac=0.1 * jax.random.normal(jax.random.key(3), mults.jac.shape, jnp.float64),
+    )
+    mu = jnp.full((B,), 1e3, jnp.float64)
+    reg = jnp.full((B,), 1e-6, jnp.float64)
+    n, m, e = problem.ndx, problem.nu, problem.ne
+    assert (n, m, e) == (12, 6, 6)
+
+    k_ref, K_ref, ok_ref = jax.vmap(
+        lambda d, mv, mj, m_, r: _backward_sweep(d, mv, mj, m_, r)
+    )(derivs, mults.val, mults.jac, mu, reg)
+
+    packed = pack_batch_last(derivs, mults.val, mults.jac)
+    k_p, K_p, ok_p = backward_sweep_pallas(
+        packed, mu, reg, T=H, n=n, m=m, e=e, block_b=B, interpret=True
+    )
+    k_p_bt = jnp.transpose(k_p, (2, 0, 1))
+    K_p_bt = jnp.transpose(K_p.reshape(H, m, n, B), (3, 0, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(k_p_bt), np.asarray(k_ref), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(K_p_bt), np.asarray(K_ref), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_ref))
+
+
+def test_pallas_block_autosizing_fits_vmem_at_arm_dims():
+    """The default block_b must shrink at arm dims: a 512-lane block at
+    (n=12, m=6, e=6, T=16) is a ~24 MB slab that cannot fit VMEM even
+    time-chunked (chunking bottoms at chunk=8 → ~12 MB)."""
+    from ddp_tpu.solver.batched import _pallas_block_plan
+
+    # pendulum dims: full 512 lanes, no chunking needed at T=32
+    blk, chunk = _pallas_block_plan(
+        B=4096, T=32, n=2, m=1, e=1, second_order=False, itemsize=4
+    )
+    assert blk == 512 and chunk == 32
+    # arm dims: lane block must drop so the slab fits the ~8 MB budget
+    blk, chunk = _pallas_block_plan(
+        B=4096, T=16, n=12, m=6, e=6, second_order=False, itemsize=4
+    )
+    rows = 2 * (12 + 6 + 144 + 72 + 36) + 6 * (2 + 24 + 6) + 2
+    assert blk % 128 == 0 and 4096 % blk == 0
+    assert chunk * rows * blk * 4 <= 8 * 2**20
+
+
 def test_pallas_time_chunked_matches_single_call():
     """Long-horizon chunked sweep (carrying Vx/Vxx between launches) must
     reproduce the single-launch result exactly."""
