@@ -313,6 +313,15 @@ def solve_batched(
     dtype = x0s.dtype
     model = problem.model
     B = x0s.shape[0]
+
+    from ddp_tpu.diagnostics.asserts import ddp_assert, val
+
+    ddp_assert(
+        val(x0s.ndim, "x0s.ndim") == 2,
+        val(x0s.shape[-1], "x0s state dim") == problem.nx,
+        val(params.max_iterations, "max_iterations") >= 1,
+        msg="solve_batched() preconditions",
+    )
     affine = method is Method.PRIMAL_DUAL_AFFINE
     eps = jnp.finfo(dtype).eps
     w_min = jnp.asarray(

@@ -123,8 +123,21 @@ def solve(
     dtype = x_init.dtype
     model = problem.model
 
+    from ddp_tpu.diagnostics.asserts import ddp_assert, val
+
+    ddp_assert(
+        val(x_init.shape, "x_init.shape") == (problem.nx,),
+        val(params.max_iterations, "max_iterations") >= 1,
+        val(params.mu, "mu") > 0.0,
+        msg="solve() preconditions",
+    )
     if us_init is None:
         us_init = jnp.zeros((T, nu), dtype=dtype)
+    else:
+        ddp_assert(
+            val(us_init.shape, "us_init.shape") == (T, nu),
+            msg="warm-start shape",
+        )
     xs = problem.rollout(x_init, us_init)
     us = us_init
 
