@@ -27,6 +27,14 @@ HORIZON = 32
 # schedule_sweep rows) — tighter than 14 iterations ever got (2.7e-3).
 ITERS = 8
 INNER_K = 1
+# Single-level regularization: on the GN pendulum Quu = c·I + μ·equᵀequ +
+# fuᵀVxx·fu never loses definiteness, so the 4-level parallel retry ladder
+# is dead work (measured: n_levels 1 vs 4 give bitwise-equal feasibility and
+# p99 ‖eq‖ = 1.38e-4, 869k vs 780k solves/s).  A lane that did fail would
+# keep its trajectory via the ok-mask and recover through the
+# cross-iteration reg escalation, same as the reference's bump-and-retry
+# (ddp_bwd.ipp:105-132) amortized across iterations.
+N_REG_LEVELS = 1
 TARGET = 10_000.0  # solves/s/chip (BASELINE.json)
 
 
@@ -152,7 +160,11 @@ def main() -> None:
     # regression shows up as more than an unexplained throughput drop.
     backend, fallback_error = "pallas", None
     try:
-        fn = jax.jit(lambda x: solve_batched(problem, params, x, backward="pallas"))
+        fn = jax.jit(
+            lambda x: solve_batched(
+                problem, params, x, backward="pallas", n_reg_levels=N_REG_LEVELS
+            )
+        )
         res = fn(x0s)
         jax.block_until_ready(res.us)
     except Exception as exc:  # noqa: BLE001 — driver needs a number either way
@@ -186,6 +198,7 @@ def main() -> None:
         "timing": "pipelined",
         "iters": ITERS,
         "inner_iters_max": INNER_K,
+        "n_reg_levels": N_REG_LEVELS,
     }
     if fallback_error:
         row["fallback_error"] = fallback_error

@@ -299,6 +299,7 @@ def solve_batched(
     block_b: int | None = None,  # pallas batch block (lane) size
     interpret: bool = False,  # pallas interpret mode (CPU tests)
     precise_cost: bool = False,  # double-float line-search acceptance sums
+    n_reg_levels: int = 4,  # parallel regularization ladder depth (≥1)
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
@@ -395,7 +396,8 @@ def solve_batched(
             return k_, K_, ok_, reg_
         if backward == "pallas":
             return _backward_pallas_levels(
-                derivs, mv, mj, mu_, reg_, block_b=block_b, interpret=interpret,
+                derivs, mv, mj, mu_, reg_, n_levels=n_reg_levels,
+                block_b=block_b, interpret=interpret,
                 second_order=problem.second_order,
             )
         if backward == "tf":
@@ -403,11 +405,14 @@ def solve_batched(
 
             return jax.vmap(
                 lambda d, v_, j_, m_, r_: _backward_multi_reg(
-                    d, v_, j_, m_, r_, sweep_fn=backward_sweep_tf
+                    d, v_, j_, m_, r_, n_levels=n_reg_levels,
+                    sweep_fn=backward_sweep_tf,
                 )
             )(derivs, mv, mj, mu_, reg_)
         return jax.vmap(
-            lambda d, v_, j_, m_, r_: _backward_multi_reg(d, v_, j_, m_, r_, unroll=unroll)
+            lambda d, v_, j_, m_, r_: _backward_multi_reg(
+                d, v_, j_, m_, r_, n_levels=n_reg_levels, unroll=unroll
+            )
         )(derivs, mv, mj, mu_, reg_)
 
     # --- pre-loop backward/forward (≙ solve(): ddp.hpp:768-773) ---

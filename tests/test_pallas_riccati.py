@@ -172,6 +172,29 @@ def test_solve_batched_pallas_second_order():
     )
 
 
+def test_solve_batched_single_reg_level():
+    """n_reg_levels=1 (the bench headline config) must match the 4-level
+    default wherever the ladder never fires — on the GN pendulum Quu stays
+    PD, so results are identical."""
+    from ddp_tpu.solver.batched import solve_batched
+    from ddp_tpu.solver.solve import SolverParams
+
+    H = 16
+    problem = make_batch(4, H)[0]
+    params = SolverParams(max_iterations=6, threshold=1e-5, mu=1e4, inner_iters_max=1)
+    x0s = jnp.stack([jnp.array([q, 0.0], jnp.float32) for q in (-0.4, 0.0, 0.3, 0.6)])
+    ref = jax.jit(lambda x: solve_batched(problem, params, x))(x0s)
+    one = jax.jit(
+        lambda x: solve_batched(
+            problem, params, x, backward="pallas", interpret=True, n_reg_levels=1
+        )
+    )(x0s)
+    np.testing.assert_allclose(
+        np.asarray(one.us), np.asarray(ref.us), rtol=2e-3, atol=2e-3
+    )
+    assert bool(jnp.all(one.opt_constr < 1e-2))
+
+
 def test_pallas_backward_arm_dims_matches_xla():
     """Arm-class dimensions (UR5: n=12, m=6, e=6 — BASELINE configs[3],
     test/pinocchio_ddp.cpp:35-68): the kernel's unrolled index algebra,
