@@ -30,7 +30,10 @@ setup_cache()
 
 H = 16
 ITERS = 3
-N_REPLANS = 40
+# enough executions for a stable p50/p99 of a deterministic static program;
+# kept small because the tunnel transfers the whole device trace (~10s+ per
+# traced replan when the profiler link is slow)
+N_REPLANS = 12
 
 
 def trace_module_durations_ms(trace_dir: str) -> dict[str, list[float]]:

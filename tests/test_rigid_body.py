@@ -114,6 +114,34 @@ def test_fd_id_roundtrip(model):
     np.testing.assert_allclose(np.asarray(tau_rec), np.asarray(tau), atol=1e-8)
 
 
+def test_implicit_fd_jacobians_match_direct(model):
+    """The implicit-JVP forward_dynamics (analytical ABA-derivative scheme,
+    ≙ pinocchio computeABADerivatives) must produce the same first- AND
+    second-order derivatives as plain autodiff through the direct path."""
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    q = rand_q(model, k1)
+    v = rand_v(model, k2)
+    tau = rand_v(model, k3, scale=2.0)
+
+    J_imp = jax.jacfwd(model.forward_dynamics, argnums=(0, 1, 2))(q, v, tau)
+    J_dir = jax.jacfwd(model.forward_dynamics_direct, argnums=(0, 1, 2))(q, v, tau)
+    for a, b in zip(J_imp, J_dir):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+    # second order: the JVP rule has no stop_gradient, so jacfwd∘jacfwd
+    # (the full-DDP Hessian path) must differentiate it exactly
+    def contract(f):
+        def g(qv):
+            return f(qv[: model.nq], qv[model.nq :], tau) @ jnp.ones(model.nv)
+
+        return g
+
+    qv = jnp.concatenate([q, v])
+    H_imp = jax.jacfwd(jax.jacfwd(contract(model.forward_dynamics)))(qv)
+    H_dir = jax.jacfwd(jax.jacfwd(contract(model.forward_dynamics_direct)))(qv)
+    np.testing.assert_allclose(np.asarray(H_imp), np.asarray(H_dir), atol=1e-7)
+
+
 def test_energy_conservation_double_pendulum():
     """Unforced double pendulum conserves energy under fine RK4 rollout."""
     model = double_pendulum()
