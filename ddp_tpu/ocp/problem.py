@@ -111,12 +111,22 @@ class Problem:
         return self.constraint.value(t, x, u)
 
     def eq_all(self, xs, us):
-        """Masked eq values for a whole trajectory: [T, ne]."""
-        T = self.horizon
-        ts = jnp.arange(T)
+        """Masked eq values for a whole trajectory: [T, ne] — evaluated only
+        at the statically-active timesteps (zeros elsewhere by definition)."""
+        T, ne = self.horizon, self.ne
         mask = jnp.asarray(self.eq_mask(), dtype=xs.dtype)
-        vals = jax.vmap(self.constraint.value)(ts, xs[:-1], us)
-        return vals * mask
+        active = self.active_ts()
+        if ne == 0 or not active:
+            return jnp.zeros((T, ne), dtype=xs.dtype)
+        if len(active) == T:
+            ts = jnp.arange(T)
+            return jax.vmap(self.constraint.value)(ts, xs[:-1], us) * mask
+        ts_a = np.asarray(active)
+        vals = jax.vmap(self.constraint.value)(
+            jnp.asarray(ts_a), xs[:-1][ts_a], us[ts_a]
+        )
+        out = jnp.zeros((T, ne), dtype=xs.dtype).at[ts_a].set(vals)
+        return out * mask
 
     def rollout(self, x0, us):
         """Roll the dynamics forward: xs[0]=x0, xs[t+1]=f(t, xs[t], us[t]).
@@ -132,41 +142,115 @@ class Problem:
         _, xs_next = jax.lax.scan(body, x0, (ts, us))
         return jnp.concatenate([x0[None], xs_next], axis=0)
 
+    def active_ts(self) -> tuple:
+        """Static tuple of timesteps with any active constraint row.
+
+        The schedule is trace-time data (≙ the reference's row-filter
+        indexers knowing their nonzero rows at construction,
+        indexer.hpp:328-448): terminal-constrained problems activate 1-2 of
+        T steps, so constraint derivatives/penalties are only *computed*
+        there and scattered into the dense arrays."""
+        mask = self.eq_mask()
+        return tuple(int(t) for t in np.nonzero(mask.any(axis=1))[0])
+
     def derivatives(self, xs, us) -> Derivs:
         """All first/second-order derivatives along (xs, us).
 
         ≙ problem_t::compute_derivatives (problem.hpp:956-1141), minus the
-        finite differences."""
+        finite differences.  Two TPU-first structural savings over a naive
+        jacfwd sweep (both exact — same chain rule, fewer evaluations):
+
+        - one traced JVP pass per timestep shares the primal chain between
+          the values (l, f, eq) and their Jacobians — the raw next state is
+          differentiated in coordinates and chained through the manifold
+          difference afterwards, so the dynamics primal is evaluated once;
+        - constraint derivatives are evaluated only at the statically-active
+          timesteps (``active_ts``) and scattered into the dense [T, …]
+          arrays — a terminal constraint costs 1-2 evaluations, not T.
+        """
         model = self.model
         ndx, nu, ne, T = self.ndx, self.nu, self.ne, self.horizon
         nz = ndx + nu
         dtype = xs.dtype
         mask = jnp.asarray(self.eq_mask(), dtype=dtype)
+        z0 = jnp.zeros((nz,), dtype=dtype)
+        eye_z = jnp.eye(nz, dtype=dtype)
 
+        # ---- cost + dynamics: every timestep, one shared-primal pass ----
         def per_t(t, x, u):
             def g(z):
                 dx, du = z[:ndx], z[ndx:]
                 xp = state_integrate(model, x, dx)
                 up = u + du
-                l_val = self.cost.stage(t, xp, up)
-                f_loc = state_difference(model, f_base, self.dynamics(t, xp, up))
-                eq_val = self.constraint.value(t, xp, up)
-                return l_val, f_loc, eq_val
+                return self.cost.stage(t, xp, up), self.dynamics(t, xp, up)
 
-            f_base = self.dynamics(t, x, u)
-            z0 = jnp.zeros((nz,), dtype=dtype)
-            lz, fz, eqz = jax.jacfwd(g)(z0)
+            # vmap-of-jvp over the tangent basis: the primal chain has no
+            # batch dim, so one dynamics evaluation feeds all nz columns
+            (l0, f_raw), (lz, fz_raw) = jax.vmap(
+                lambda e: jax.jvp(g, (z0,), (e,)), out_axes=(None, 0)
+            )(eye_z)
+            # chain the coordinate Jacobian through the manifold difference
+            # at the base point: f_loc = (· ⊖ f_raw) ∘ f  ⇒  J = E · J_raw
+            E = jax.jacfwd(lambda xn: state_difference(model, f_raw, xn))(f_raw)
+            fz = E @ fz_raw.T  # [ndx, nz]
             if self.second_order:
-                lzz, fzz, eqzz = jax.jacfwd(jax.jacfwd(g))(z0)
+
+                def g2(z):
+                    dx, du = z[:ndx], z[ndx:]
+                    xp = state_integrate(model, x, dx)
+                    up = u + du
+                    return self.cost.stage(t, xp, up), state_difference(
+                        model, f_raw, self.dynamics(t, xp, up)
+                    )
+
+                lzz, fzz = jax.jacfwd(jax.jacfwd(g2))(z0)
             else:
-                lzz = jax.hessian(lambda z: g(z)[0])(z0)
+                lzz = jax.jacfwd(
+                    jax.jacfwd(
+                        lambda z: self.cost.stage(
+                            t, state_integrate(model, x, z[:ndx]), u + z[ndx:]
+                        )
+                    )
+                )(z0)
                 fzz = jnp.zeros((ndx, nz, nz), dtype=dtype)
-                eqzz = jnp.zeros((ne, nz, nz), dtype=dtype)
-            eq0 = self.constraint.value(t, x, u)
-            return lz, lzz, fz, fzz, eqz, eqzz, eq0
+            return lz, lzz, fz, fzz
 
         ts = jnp.arange(T)
-        lz, lzz, fz, fzz, eqz, eqzz, eq0 = jax.vmap(per_t)(ts, xs[:-1], us)
+        lz, lzz, fz, fzz = jax.vmap(per_t)(ts, xs[:-1], us)
+
+        # ---- constraint: statically-active timesteps only ----
+        def eq_t(t, x, u):
+            def h(z):
+                dx, du = z[:ndx], z[ndx:]
+                return self.constraint.value(
+                    t, state_integrate(model, x, dx), u + du
+                )
+
+            eq0, eqz_cols = jax.vmap(
+                lambda e: jax.jvp(h, (z0,), (e,)), out_axes=(None, 0)
+            )(eye_z)
+            eqz = eqz_cols.T  # [ne, nz]
+            if self.second_order:
+                eqzz = jax.jacfwd(jax.jacfwd(h))(z0)
+            else:
+                eqzz = jnp.zeros((ne, nz, nz), dtype=dtype)
+            return eq0, eqz, eqzz
+
+        active = self.active_ts()
+        if ne == 0 or not active:
+            eq0 = jnp.zeros((T, ne), dtype=dtype)
+            eqz = jnp.zeros((T, ne, nz), dtype=dtype)
+            eqzz = jnp.zeros((T, ne, nz, nz), dtype=dtype)
+        elif len(active) == T:
+            eq0, eqz, eqzz = jax.vmap(eq_t)(ts, xs[:-1], us)
+        else:
+            ts_a = np.asarray(active)
+            eq0_a, eqz_a, eqzz_a = jax.vmap(eq_t)(
+                jnp.asarray(ts_a), xs[:-1][ts_a], us[ts_a]
+            )
+            eq0 = jnp.zeros((T, ne), dtype=dtype).at[ts_a].set(eq0_a)
+            eqz = jnp.zeros((T, ne, nz), dtype=dtype).at[ts_a].set(eqz_a)
+            eqzz = jnp.zeros((T, ne, nz, nz), dtype=dtype).at[ts_a].set(eqzz_a)
 
         sx = slice(None, ndx)
         su = slice(ndx, None)

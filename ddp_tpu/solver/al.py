@@ -82,18 +82,44 @@ def update_origin(model, mults: AffineMults, xs) -> AffineMults:
 
 def al_costs(problem, xs, us, mults: AffineMults, mu) -> jax.Array:
     """Per-step augmented-Lagrangian cost [T+1]: l + p(x)·eq + (μ/2)‖eq‖²,
-    with lf(x_T) in the last slot.  ≙ cost_seq_aug (ddp.hpp:699-735)."""
+    with lf(x_T) in the last slot.  ≙ cost_seq_aug (ddp.hpp:699-735).
+
+    The constraint penalty is evaluated only at the statically-active
+    timesteps (problem.active_ts()) — inactive steps contribute exactly
+    zero, and skipping them keeps the line-search rollouts from paying T
+    constraint evaluations (each a dynamics chain under AdvanceTime) per
+    candidate."""
+    import numpy as np
+
     T = problem.horizon
     ts = jnp.arange(T)
     mask = jnp.asarray(problem.eq_mask(), dtype=xs.dtype)
 
-    pe = eval_mults(problem.model, mults, xs)
+    stage = jax.vmap(lambda t, x, u: problem.cost.stage(t, x, u))(ts, xs[:-1], us)
 
-    def one(t, x, u, p, m):
-        ce = problem.constraint.value(t, x, u) * m
-        return problem.cost.stage(t, x, u) + jnp.dot(p, ce) + 0.5 * mu * jnp.dot(ce, ce)
+    active = problem.active_ts() if hasattr(problem, "active_ts") else tuple(range(T))
+    if problem.ne and active:
 
-    stage = jax.vmap(one)(ts, xs[:-1], us, pe, mask)
+        def pen(t, x, u, p, m):
+            ce = problem.constraint.value(t, x, u) * m
+            return jnp.dot(p, ce) + 0.5 * mu * jnp.dot(ce, ce)
+
+        if len(active) == T:
+            pe = eval_mults(problem.model, mults, xs)
+            stage = stage + jax.vmap(pen)(ts, xs[:-1], us, pe, mask)
+        else:
+            ts_a = np.asarray(active)
+            sub = AffineMults(
+                mults.val[ts_a], mults.jac[ts_a], mults.origin[ts_a]
+            )
+            pe_a = jax.vmap(
+                lambda val, jac, origin, x: val
+                + jac @ state_difference(problem.model, origin, x)
+            )(sub.val, sub.jac, sub.origin, xs[:-1][ts_a])
+            pen_a = jax.vmap(pen)(
+                jnp.asarray(ts_a), xs[:-1][ts_a], us[ts_a], pe_a, mask[ts_a]
+            )
+            stage = stage.at[ts_a].add(pen_a)
     return jnp.concatenate([stage, problem.cost.terminal(xs[-1])[None]])
 
 

@@ -48,26 +48,53 @@ def _mul_scalar(s, x) -> TF:
 
 def al_costs_tf(problem, xs, us, mults, mu) -> TF:
     """Per-step AL cost [T+1] in TF: l + p·eq + (μ/2)‖eq‖² with error-free
-    products and compensated dot products.  ≙ cost_seq_aug (ddp.hpp:699-735)."""
+    products and compensated dot products.  ≙ cost_seq_aug (ddp.hpp:699-735).
+    Constraint penalties are evaluated at statically-active timesteps only
+    (same skip as al.al_costs — zeros contribute exactly zero to the TF sum)."""
+    import numpy as np
+
     T = problem.horizon
     ts = jnp.arange(T)
     mask = jnp.asarray(problem.eq_mask(), dtype=xs.dtype)
-    pe = al_mod.eval_mults(problem.model, mults, xs)
 
-    def one(t, x, u, p, m):
-        ce = problem.constraint.value(t, x, u) * m
-        l_val = problem.cost.stage(t, x, u)
-        p_ce = tf.dot(p, ce)
-        ce_ce = tf.dot(ce, ce)
-        acc = tf.add(_F(l_val), p_ce)
-        acc = tf.add(acc, tf.mul(_F(0.5 * mu), ce_ce))
-        return acc
+    stage_l = jax.vmap(lambda t, x, u: problem.cost.stage(t, x, u))(
+        ts, xs[:-1], us
+    )
+    hi = stage_l
+    lo = jnp.zeros_like(stage_l)
 
-    stage = jax.vmap(one)(ts, xs[:-1], us, pe, mask)
+    active = problem.active_ts() if hasattr(problem, "active_ts") else tuple(range(T))
+    if problem.ne and active:
+
+        def pen(t, x, u, p, m):
+            ce = problem.constraint.value(t, x, u) * m
+            acc = tf.add(tf.dot(p, ce), tf.mul(_F(0.5 * mu), tf.dot(ce, ce)))
+            return acc
+
+        if len(active) == T:
+            pe = al_mod.eval_mults(problem.model, mults, xs)
+            pen_all = jax.vmap(pen)(ts, xs[:-1], us, pe, mask)
+            acc = tf.add(TF(hi, lo), pen_all)
+            hi, lo = acc.hi, acc.lo
+        else:
+            from ddp_tpu.models.base import state_difference
+
+            ts_a = np.asarray(active)
+            pe_a = jax.vmap(
+                lambda val, jac, origin, x: val
+                + jac @ state_difference(problem.model, origin, x)
+            )(mults.val[ts_a], mults.jac[ts_a], mults.origin[ts_a], xs[:-1][ts_a])
+            pen_a = jax.vmap(pen)(
+                jnp.asarray(ts_a), xs[:-1][ts_a], us[ts_a], pe_a, mask[ts_a]
+            )
+            acc_a = tf.add(TF(hi[ts_a], lo[ts_a]), pen_a)
+            hi = hi.at[ts_a].set(acc_a.hi)
+            lo = lo.at[ts_a].set(acc_a.lo)
+
     lf = _F(problem.cost.terminal(xs[-1]))
     return TF(
-        jnp.concatenate([stage.hi, lf.hi[None]]),
-        jnp.concatenate([stage.lo, lf.lo[None]]),
+        jnp.concatenate([hi, lf.hi[None]]),
+        jnp.concatenate([lo, lf.lo[None]]),
     )
 
 
