@@ -107,24 +107,44 @@ def _mpc_device_time_inner(jax, jnp, n_replans, glob, tempfile):
     files = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     if not files:
         return None
-    mods: dict[str, list[float]] = {}
+    # TPU plane only (same prefix as benchmarks/mpc_device_time.py): a
+    # non-TPU backend must report None, not its host-plane module times.
+    # Events are deduped per (plane, start) — a re-parsed plane proto can
+    # surface the same execution twice.
+    mods: dict[str, dict[tuple, float]] = {}
     for plane in jax.profiler.ProfileData.from_file(files[0]).planes:
-        if not plane.name.startswith("/device:"):
+        if not plane.name.startswith("/device:TPU"):
             continue
         for line in plane.lines:
             if line.name != "XLA Modules":
                 continue
             for ev in line.events:
-                mods.setdefault(ev.name, []).append((ev.end_ns - ev.start_ns) / 1e6)
+                mods.setdefault(ev.name, {})[(plane.name, ev.start_ns)] = (
+                    ev.end_ns - ev.start_ns
+                ) / 1e6
     if not mods:
         return None
-    durs = np.asarray(max(mods.values(), key=len))
-    return {
+    # the replan module is the one executed exactly n_replans times; if the
+    # count heuristic is ambiguous, fall back to most-events and say so in
+    # the row rather than silently reporting a possibly-wrong module
+    counts = {k: len(v) for k, v in mods.items()}
+    exact = [k for k, c in counts.items() if c == n_replans]
+    if len(exact) == 1:
+        durs = np.asarray(list(mods[exact[0]].values()))
+        note = None
+    else:
+        name = max(mods, key=lambda k: counts[k])
+        durs = np.asarray(list(mods[name].values()))
+        note = f"event counts {sorted(counts.values())} vs n_replans={n_replans}"
+    out = {
         "p50": round(float(np.percentile(durs, 50)), 3),
         "p99": round(float(np.percentile(durs, 99)), 3),
         "n": int(durs.size),
         "vs_budget_10ms": round(float(np.percentile(durs, 50)) / 10.0, 3),
     }
+    if note is not None:
+        out["count_warning"] = note
+    return out
 
 
 def main() -> None:

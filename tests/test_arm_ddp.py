@@ -25,6 +25,7 @@ def arm():
     return ur5()
 
 
+@pytest.mark.slow
 def test_ur5_config_constrained_ddp(arm):
     """Reach a (nearby) target configuration at the horizon, as in
     test/pinocchio_ddp.cpp:35-68 (horizon 10, double advance_time)."""
@@ -55,6 +56,7 @@ def test_ur5_config_constrained_ddp(arm):
     assert float(jnp.max(jnp.abs(err))) < 1e-4, np.asarray(err)
 
 
+@pytest.mark.slow
 def test_ur5_spatial_eq_ddp(arm):
     """spatial_eq variant: end-effector position target at the horizon
     (test/pinocchio_spatial_eq_ddp.cpp:39-63)."""
@@ -88,6 +90,7 @@ def test_ur5_spatial_eq_ddp(arm):
     np.testing.assert_allclose(np.asarray(p_final), np.asarray(p_target), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_double_pendulum_swingup():
     """Acrobat-class swing-up through RNEA/CRBA dynamics with jacfwd
     linearization (BASELINE.json configs[2])."""
@@ -117,6 +120,7 @@ def test_double_pendulum_swingup():
     assert float(jnp.max(jnp.abs(err))) < 1e-4, np.asarray(q_final)
 
 
+@pytest.mark.slow
 def test_ur5_full_ddp_second_order(arm):
     """Full second-order DDP (dynamics Hessians via jacfwd∘jacfwd) on a
     short-horizon UR5 problem — the reference's default scheme."""

@@ -1,5 +1,7 @@
 """Throughput-mode (static-control-flow) batched solver tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,6 +83,7 @@ def test_batched_float32():
     np.testing.assert_allclose(res.xs[:, -1, 0], 3.14, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_batched_pallas_backend_matches_sweep():
     """backward="pallas" (interpret mode on CPU) reaches the same solution
     as the default XLA sweep backend at the full-solve level."""

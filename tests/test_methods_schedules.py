@@ -6,6 +6,8 @@ ddp.hpp:365-371 + zero.hpp:8-42), the reference-startup random multiplier-jac
 init (ddp.hpp:760-764), and the every_k/in_range schedule helpers
 (≙ periodic_row_filter_t / range_row_filter_t, indexer.hpp:328-448)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -58,6 +60,7 @@ def test_primal_method_distinct_from_constant():
     assert dv > 0.0, "PRIMAL must not alias PRIMAL_DUAL_CONSTANT"
 
 
+@pytest.mark.slow
 def test_method_ladder_convergence():
     """Three-method comparison on the pendulum driver config at a matched
     iteration budget.

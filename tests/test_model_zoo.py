@@ -36,6 +36,7 @@ def test_quadrotor_freefall():
     np.testing.assert_allclose(np.asarray(a[3:]), 0.0, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_panda7_spatial_eq_ddp():
     """BASELINE configs[3]: equality-constrained DDP on a 7-DoF arm with a
     spatial (end-effector) target and AL multipliers."""
@@ -66,6 +67,7 @@ def test_panda7_spatial_eq_ddp():
     np.testing.assert_allclose(np.asarray(p_final), np.asarray(p_target), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cartpole_swingup():
     """Cartpole swing-up with a terminal configuration constraint (pole up,
     cart back at origin)."""

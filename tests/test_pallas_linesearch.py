@@ -1,5 +1,7 @@
 """Fused Pallas line-search kernel vs the XLA sweep (interpret mode on CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +69,7 @@ def _compare(problem, xs, us, k, K, mults, mu, n_cand=7):
     np.testing.assert_allclose(np.asarray(xs_p), np.asarray(xs_r), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_linesearch_pallas_matches_xla_constrained():
     _compare(*make_state(constrained=True))
 
@@ -90,6 +93,7 @@ def test_linesearch_pallas_rejected_keeps_incumbent():
     np.testing.assert_array_equal(np.asarray(xs_p), np.asarray(xs))
 
 
+@pytest.mark.slow
 def test_solve_batched_full_pallas_matches_sweep():
     """backward=pallas + forward=pallas full solve ≈ default backends."""
     problem, *_ = make_state(B=8, H=24)

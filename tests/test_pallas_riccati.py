@@ -1,5 +1,7 @@
 """Pallas batched Riccati kernel vs the XLA sweep (interpret mode on CPU)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,6 +91,7 @@ def test_pallas_ok_is_per_sample():
     assert bool(jnp.all(jnp.isfinite(jnp.transpose(k_p, (2, 0, 1))[jnp.arange(B) != 3])))
 
 
+@pytest.mark.slow
 def test_pallas_backward_second_order_matches_xla():
     """Full-DDP mode: the kernel's unrolled rank-3 contraction terms match
     the XLA einsum path."""
@@ -138,6 +141,7 @@ def test_pallas_backward_second_order_matches_xla():
     np.testing.assert_array_equal(np.asarray(ok_p), np.asarray(ok_ref))
 
 
+@pytest.mark.slow
 def test_solve_batched_pallas_second_order():
     """Full second-order DDP solve through the pallas backward reaches the
     same optimum as the XLA sweep."""
@@ -172,6 +176,7 @@ def test_solve_batched_pallas_second_order():
     )
 
 
+@pytest.mark.slow
 def test_solve_batched_single_reg_level():
     """n_reg_levels=1 (the bench headline config) must match the 4-level
     default wherever the ladder never fires — on the GN pendulum Quu stays
@@ -195,6 +200,7 @@ def test_solve_batched_single_reg_level():
     assert bool(jnp.all(one.opt_constr < 1e-2))
 
 
+@pytest.mark.slow
 def test_pallas_backward_arm_dims_matches_xla():
     """Arm-class dimensions (UR5: n=12, m=6, e=6 — BASELINE configs[3],
     test/pinocchio_ddp.cpp:35-68): the kernel's unrolled index algebra,

@@ -1,5 +1,7 @@
 """Associative-scan Riccati vs the sequential sweep: identical gains."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,6 +44,7 @@ def make_derivs(H=64, seed=0, with_constraint=True):
     return problem, derivs, mults
 
 
+@pytest.mark.slow
 def test_assoc_matches_sequential_unconstrained():
     _, derivs, mults = make_derivs(with_constraint=False)
     mu = jnp.asarray(0.0)
@@ -72,6 +75,7 @@ def test_assoc_matches_sequential_with_al_terms():
     np.testing.assert_allclose(np.asarray(K_par), np.asarray(K_seq), rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_assoc_long_horizon_finite():
     """T = 1024 stays finite and well-conditioned under the scan."""
     _, derivs, mults = make_derivs(H=1024, with_constraint=False)
@@ -82,6 +86,7 @@ def test_assoc_long_horizon_finite():
     assert np.isfinite(np.asarray(k)).all() and np.isfinite(np.asarray(K)).all()
 
 
+@pytest.mark.slow
 def test_solve_batched_with_assoc_backward():
     """Full batched solve using the associative-scan backward pass on a
     long horizon matches the sequential-sweep path."""

@@ -95,6 +95,7 @@ def test_constraint_satisfied_exactly_at_optimum():
     assert float(jnp.max(jnp.abs(eq))) < 1e-6
 
 
+@pytest.mark.slow
 def test_stacked_and_trajectory_constraints():
     """StackConstraints (row-concat analog) + TrajectoryConfigTarget with a
     periodic schedule solve end-to-end."""

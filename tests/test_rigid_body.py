@@ -114,6 +114,7 @@ def test_fd_id_roundtrip(model):
     np.testing.assert_allclose(np.asarray(tau_rec), np.asarray(tau), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_implicit_fd_jacobians_match_direct(model):
     """The implicit-JVP forward_dynamics (analytical ABA-derivative scheme,
     ≙ pinocchio computeABADerivatives) must produce the same first- AND
@@ -276,6 +277,7 @@ def test_state_transport(model):
     np.testing.assert_allclose(np.asarray(back), np.asarray(dv), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bfloat16_dynamics_smoke():
     """Precision envelope (SURVEY §2 #30): the dtype axis reaches bf16.
 
