@@ -46,6 +46,8 @@ class BatchSolveResult(NamedTuple):
     opt_constr: jax.Array  # [B]
     opt_lag: jax.Array  # [B]
     mu: jax.Array  # [B]
+    mults: al_mod.AffineMults | None = None  # [B, T, ...], re-anchored at xs
+    reg: jax.Array | None = None  # [B]
 
 
 def _backward_multi_reg(
@@ -156,11 +158,21 @@ def _pallas_block_plan(
         divisors = [d for d in range(min(B, 512), 0, -1) if B % d == 0]
         aligned = [d for d in divisors if d % 128 == 0]
         candidates = aligned + [d for d in divisors if d % 128]
-        block_b = candidates[0]
+        block_b = None
         for d in candidates:
             if min_chunk(T) * rows * d * itemsize <= budget:
                 block_b = d
                 break
+        if block_b is None:
+            # nothing fits even at the smallest lane block + deepest time
+            # chunk — fail loudly here instead of letting Mosaic OOM far
+            # from the cause
+            raise ValueError(
+                f"pallas backward: no lane block of B={B} fits the "
+                f"{budget >> 20} MiB VMEM budget (rows/timestep={rows}, "
+                f"min time chunk={min_chunk(T)}, itemsize={itemsize}); "
+                "these dims need backward='sweep' or backward='tf'"
+            )
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
     chunk = T
@@ -300,6 +312,11 @@ def solve_batched(
     interpret: bool = False,  # pallas interpret mode (CPU tests)
     precise_cost: bool = False,  # double-float line-search acceptance sums
     n_reg_levels: int = 4,  # parallel regularization ladder depth (≥1)
+    mults_init: al_mod.AffineMults | None = None,  # [B, T, ...] warm-start
+    # multipliers (e.g. the previous MPC replan's result.mults); re-anchored
+    # to the warm-start rollout via update_origin before the first sweep
+    mu_init: jax.Array | None = None,  # [B] warm-start penalty state
+    reg_init: jax.Array | None = None,  # [B] warm-start regularization
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
@@ -418,9 +435,24 @@ def solve_batched(
     # --- pre-loop backward/forward (≙ solve(): ddp.hpp:768-773) ---
     xs = vrollout(x0s, us_init)
     us = us_init
-    mults = vinit_mults(xs)
-    mu = jnp.full((B,), params.mu, dtype)
-    reg = jnp.full((B,), params.reg, dtype)
+    if mults_init is None:
+        mults = vinit_mults(xs)
+    else:
+        # warm start (≙ the multiplier state the reference's solve carries
+        # across AL iterations, ddp.hpp:677-695, extended across replans):
+        # re-express the affine functions about the new rollout
+        mults = vupdate_origin(mults_init, xs)
+        mults = mults._replace(jac=constrain_jac(mults.jac))
+    mu = (
+        jnp.full((B,), params.mu, dtype)
+        if mu_init is None
+        else jnp.broadcast_to(jnp.asarray(mu_init, dtype), (B,))
+    )
+    reg = (
+        jnp.full((B,), params.reg, dtype)
+        if reg_init is None
+        else jnp.broadcast_to(jnp.asarray(reg_init, dtype), (B,))
+    )
     w = jnp.full((B,), params.w if params.w is not None else 1.0 / params.mu, dtype)
     n = jnp.full(
         (B,), params.n if params.n is not None else 1.0 / params.mu**0.1, dtype
@@ -568,4 +600,6 @@ def solve_batched(
         opt_constr=oc,
         opt_lag=olag,
         mu=final.mu,
+        mults=mults,
+        reg=final.reg,
     )

@@ -7,24 +7,43 @@ TPU discipline for that budget: compile once, execute many — a single jitted
 budget, and returns the first control + feedback gains.  No host round-trips
 inside the loop; the whole step vmaps over scenario batches and shards over
 a mesh (see parallel/mesh.py).
+
+Warm starts carry the FULL solver state between replans, not just controls:
+multiplier state is the thing the reference's solve() threads across AL
+iterations (ddp.hpp:677-695) — an MPC loop that re-inits multipliers to
+zero re-pays the AL feasibility ramp inside every replan's small iteration
+budget.  ``MPCCarry`` therefore holds (us_warm, mults, μ, reg); the next
+replan re-anchors the affine multipliers to its warm-start rollout via
+``update_origin`` and resumes the penalty schedule where it left off.
+
+Multiplier time-shifting: the constraint schedule is *horizon-relative*
+(``active_ts`` are slot indices — a terminal constraint lives at slot H-k
+in every replan), so by default the slot-t multiplier warm-starts slot t of
+the next replan unshifted.  ``shift_mults=True`` shifts the sequence one
+step with the controls instead — the right choice for *time-indexed* path
+constraints that slide through the horizon window.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from ddp_tpu.solver import al as al_mod
 from ddp_tpu.solver.batched import solve_batched
 from ddp_tpu.solver.solve import Method, SolverParams
 
 
 class MPCCarry(NamedTuple):
-    """Warm-start state carried between replans."""
+    """Warm-start state carried between replans (persist with
+    utils/checkpoint.py to resume a restarted controller host)."""
 
     us_warm: jax.Array  # [T, nu]
+    mults: al_mod.AffineMults  # [T, ne] / [T, ne, ndx] / [T, nx]
+    mu: jax.Array  # [] penalty where the last replan ended
+    reg: jax.Array  # [] regularization likewise
 
 
 class MPCStep(NamedTuple):
@@ -35,19 +54,101 @@ class MPCStep(NamedTuple):
     opt_constr: jax.Array
 
 
+def init_carry(problem, dtype=None, x0: jax.Array | None = None) -> MPCCarry:
+    """Cold-start carry: zero controls/multipliers, μ/reg = 0 (the step
+    floors them at params.mu/params.reg).  ``x0`` anchors the multiplier
+    origins at a *valid* state — required for quaternion-manifold models,
+    where an all-zero origin is not a point on the manifold."""
+    dtype = dtype or jnp.float32
+    T, ne, ndx, nx = problem.horizon, problem.ne, problem.ndx, problem.nx
+    if x0 is None:
+        from ddp_tpu.models import base
+
+        model = problem.model
+        x0 = base.state_pack(
+            jnp.asarray(model.neutral_configuration(), dtype),
+            jnp.zeros((model.nv,), dtype),
+        )
+    origin = jnp.broadcast_to(jnp.asarray(x0, dtype), (T, nx))
+    return MPCCarry(
+        us_warm=jnp.zeros((T, problem.nu), dtype=dtype),
+        mults=al_mod.AffineMults(
+            val=jnp.zeros((T, ne), dtype=dtype),
+            jac=jnp.zeros((T, ne, ndx), dtype=dtype),
+            origin=origin,
+        ),
+        mu=jnp.zeros((), dtype),
+        reg=jnp.zeros((), dtype),
+    )
+
+
+def _shift_mults(mults: al_mod.AffineMults) -> al_mod.AffineMults:
+    """Shift the multiplier sequence one step with the controls (for
+    time-indexed path constraints), repeating the tail slot."""
+    sh = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
+    return al_mod.AffineMults(sh(mults.val), sh(mults.jac), sh(mults.origin))
+
+
+def _advance_carry(
+    res,
+    params,
+    warm_mults: bool,
+    shift_mults: bool,
+    mu_carry_max: float,
+    mu_decay: float,
+):
+    """Build the next MPCCarry from a B=1 BatchSolveResult.
+
+    The carried penalty is *decayed* (μ/mu_decay, floored at params.mu):
+    with warm multipliers doing the feasibility work, re-entering at the
+    escalated μ is counterproductive — measured on the pendulum StateTarget
+    loop (3-iter budget, 40 replans), holding μ pumps the multiplier update
+    p += μ·eq into divergence (tail ‖eq‖ 0.10 → 0.55 and climbing) while
+    decay settles at 0.05-0.07; resetting μ outright loses the escalation
+    signal entirely and the loop diverges."""
+    us = res.us[0]
+    us_warm = jnp.concatenate([us[1:], us[-1:]], axis=0)
+    mults = jax.tree.map(lambda a: a[0], res.mults)
+    if shift_mults:
+        mults = _shift_mults(mults)
+    if not warm_mults:
+        mults = mults._replace(
+            val=jnp.zeros_like(mults.val), jac=jnp.zeros_like(mults.jac)
+        )
+    mu_next = jnp.clip(
+        res.mu[0] / mu_decay,
+        jnp.asarray(params.mu, res.mu.dtype),
+        jnp.asarray(mu_carry_max, res.mu.dtype),
+    )
+    return MPCCarry(us_warm=us_warm, mults=mults, mu=mu_next, reg=res.reg[0])
+
+
 def make_mpc_step(
     problem,
     params: SolverParams,
     method=Method.PRIMAL_DUAL_AFFINE,
     unroll: int = 4,
     backward: str = "sweep",
+    warm_mults: bool = True,
+    shift_mults: bool = False,
+    mu_carry_max: float | None = None,
+    mu_decay: float = 10.0,
 ):
     """Build the jitted replan function: (x_measured, carry) → MPCStep.
 
     Uses the static-control-flow batched solver internals on a single
     sample so the compiled program has a deterministic 10 ms-class runtime
     (no data-dependent loops).
+
+    ``warm_mults=False`` reverts to controls-only warm starts (the round-2
+    behavior); ``mu_carry_max`` caps the carried penalty so a persistently
+    infeasible plant cannot escalate μ without bound across replans —
+    unbounded μ carry drags the multipliers with it (|p| ≈ μ·‖eq‖) until
+    the Riccati conditioning collapses.  Default: 100·params.mu (measured
+    stable on the pendulum StateTarget loop where 1e8·params.mu diverges).
     """
+    if mu_carry_max is None:
+        mu_carry_max = 100.0 * params.mu
 
     def step(x_measured: jax.Array, carry: MPCCarry) -> MPCStep:
         res = solve_batched(
@@ -58,24 +159,23 @@ def make_mpc_step(
             method=method,
             unroll=unroll,
             backward=backward,
+            mults_init=(
+                jax.tree.map(lambda a: a[None], carry.mults) if warm_mults else None
+            ),
+            mu_init=jnp.maximum(carry.mu, params.mu)[None] if warm_mults else None,
+            reg_init=jnp.maximum(carry.reg, params.reg)[None] if warm_mults else None,
         )
-        us = res.us[0]
-        # shift warm start: drop u_0, repeat the tail control
-        us_warm = jnp.concatenate([us[1:], us[-1:]], axis=0)
         return MPCStep(
-            u0=us[0],
+            u0=res.us[0, 0],
             k0=res.fb_k[0, 0],
             K0=res.fb_K[0, 0],
-            carry=MPCCarry(us_warm=us_warm),
+            carry=_advance_carry(
+                res, params, warm_mults, shift_mults, mu_carry_max, mu_decay
+            ),
             opt_constr=res.opt_constr[0],
         )
 
     return jax.jit(step)
-
-
-def init_carry(problem, dtype=None) -> MPCCarry:
-    dtype = dtype or jnp.float32
-    return MPCCarry(us_warm=jnp.zeros((problem.horizon, problem.nu), dtype=dtype))
 
 
 def make_batch_mpc_step(
@@ -85,36 +185,88 @@ def make_batch_mpc_step(
     method=Method.PRIMAL_DUAL_AFFINE,
     unroll: int = 1,
     backward: str = "sweep",
+    warm_mults: bool = True,
+    shift_mults: bool = False,
+    mu_carry_max: float | None = None,
+    mu_decay: float = 10.0,
 ):
     """Fleet MPC: replan a batch of scenarios sharded over a device mesh.
 
     BASELINE configs[5]: "multi-host receding-horizon MPC: 32k scenarios
     across N hosts, 10 ms replan budget".  Returns a jitted
-    fn(x_measured [B, nx], us_warm [B, T, nu]) → (u0 [B, nu], us_warm',
-    mean_constr) with the batch axis sharded and the convergence aggregate
-    psum-reduced over the mesh.
+    fn(x_measured [B, nx], carry) → (u0 [B, nu], carry', mean_constr) with
+    the batch axis sharded, per-scenario warm-start state (controls +
+    multipliers + μ/reg) carried between replans, and the convergence
+    aggregate psum-reduced over the mesh.  Build the initial carry with
+    ``init_batch_carry``.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def shard_fn(x, us_warm):
+    if mu_carry_max is None:
+        mu_carry_max = 100.0 * params.mu
+
+    def shard_fn(x, carry):
+        us_warm, mults, mu, reg = carry
         res = solve_batched(
             problem, params, x, us_init=us_warm, method=method, unroll=unroll,
             backward=backward,
-        )
+            mults_init=mults if warm_mults else None,
+            mu_init=jnp.maximum(mu, params.mu) if warm_mults else None,
+            reg_init=jnp.maximum(reg, params.reg) if warm_mults else None,
+        )  # fmt: skip
         us_next = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
+        mults_next = res.mults
+        if shift_mults:
+            mults_next = jax.vmap(_shift_mults)(mults_next)
+        if not warm_mults:
+            mults_next = mults_next._replace(
+                val=jnp.zeros_like(mults_next.val),
+                jac=jnp.zeros_like(mults_next.jac),
+            )
+        carry_next = MPCCarry(
+            us_warm=us_next,
+            mults=mults_next,
+            mu=jnp.clip(
+                res.mu / mu_decay,
+                jnp.asarray(params.mu, res.mu.dtype),
+                jnp.asarray(mu_carry_max, res.mu.dtype),
+            ),
+            reg=res.reg,
+        )
         n_total = jax.lax.psum(x.shape[0], "batch")
         mean_constr = jax.lax.psum(jnp.sum(res.opt_constr), "batch") / n_total
-        return res.us[:, 0], us_next, mean_constr
+        return res.us[:, 0], carry_next, mean_constr
 
+    carry_spec = MPCCarry(
+        us_warm=P("batch"),
+        mults=al_mod.AffineMults(P("batch"), P("batch"), P("batch")),
+        mu=P("batch"),
+        reg=P("batch"),
+    )
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("batch"), P("batch")),
-        out_specs=(P("batch"), P("batch"), P()),
+        in_specs=(P("batch"), carry_spec),
+        out_specs=(P("batch"), carry_spec, P()),
         check_vma=False,
     )
     x_shard = NamedSharding(mesh, P("batch"))
-    return jax.jit(shard, in_shardings=(x_shard, x_shard))
+    carry_shard = jax.tree.map(lambda sp: NamedSharding(mesh, sp), carry_spec)
+    return jax.jit(shard, in_shardings=(x_shard, carry_shard))
+
+
+def init_batch_carry(problem, B: int, dtype=None, x0s: jax.Array | None = None):
+    """Batched cold-start carry for make_batch_mpc_step."""
+    dtype = dtype or jnp.float32
+    one = init_carry(problem, dtype, None if x0s is None else x0s[0])
+    carry = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), one)
+    if x0s is not None:
+        origin = jnp.broadcast_to(
+            jnp.asarray(x0s, dtype)[:, None, :],
+            (B, problem.horizon, problem.nx),
+        )
+        carry = carry._replace(mults=carry.mults._replace(origin=origin))
+    return carry
 
 
 def run_mpc(
@@ -136,7 +288,7 @@ def run_mpc(
         return (x_next, out.carry), (x, out.u0, out.opt_constr)
 
     make_step_inner = lambda x, c: _step_impl(problem, params, method, x, c)
-    carry0 = MPCCarry(us_warm=jnp.zeros((problem.horizon, problem.nu), dtype=x0.dtype))
+    carry0 = init_carry(problem, dtype=x0.dtype, x0=x0)
     (x_end, _), (xs, us, ocs) = jax.lax.scan(
         body, (x0, carry0), jnp.arange(n_steps)
     )
@@ -145,14 +297,22 @@ def run_mpc(
 
 def _step_impl(problem, params, method, x_measured, carry):
     res = solve_batched(
-        problem, params, x_measured[None], us_init=carry.us_warm[None], method=method
+        problem,
+        params,
+        x_measured[None],
+        us_init=carry.us_warm[None],
+        method=method,
+        mults_init=jax.tree.map(lambda a: a[None], carry.mults),
+        mu_init=jnp.maximum(carry.mu, params.mu)[None],
+        reg_init=jnp.maximum(carry.reg, params.reg)[None],
     )
-    us = res.us[0]
-    us_warm = jnp.concatenate([us[1:], us[-1:]], axis=0)
     return MPCStep(
-        u0=us[0],
+        u0=res.us[0, 0],
         k0=res.fb_k[0, 0],
         K0=res.fb_K[0, 0],
-        carry=MPCCarry(us_warm=us_warm),
+        carry=_advance_carry(
+            res, params, warm_mults=True, shift_mults=False,
+            mu_carry_max=100.0 * params.mu, mu_decay=10.0,
+        ),  # fmt: skip
         opt_constr=res.opt_constr[0],
     )

@@ -30,7 +30,7 @@ from ddp_tpu.models.pendulum import pendulum
 from ddp_tpu.ocp import constraints, costs, dynamics
 from ddp_tpu.ocp.problem import Problem
 from ddp_tpu.parallel.mesh import make_batch_mesh
-from ddp_tpu.solver.mpc import make_batch_mpc_step
+from ddp_tpu.solver.mpc import init_batch_carry, make_batch_mpc_step
 from ddp_tpu.solver.solve import SolverParams
 
 
@@ -66,9 +66,10 @@ def main():
     x = jax.device_put(
         jnp.asarray(np.stack([rng.uniform(-0.5, 0.5, B), np.zeros(B)], 1), dtype), sh
     )
-    us_warm = jax.device_put(jnp.zeros((B, H, 1), dtype), sh)
+    carry = init_batch_carry(problem, B, dtype, x0s=jnp.asarray(np.asarray(x)))
+    carry = jax.device_put(carry, jax.tree.map(lambda _: sh, carry))
 
-    u0, us_warm, mc = step(x, us_warm)  # compile
+    u0, carry, mc = step(x, carry)  # compile
     jax.block_until_ready(u0)
 
     # blocking protocol: wait for u0 each replan (a real plant in the loop);
@@ -76,7 +77,7 @@ def main():
     t0 = time.perf_counter()
     n_replans = 20
     for _ in range(n_replans):
-        u0, us_warm, mc = step(x, us_warm)
+        u0, carry, mc = step(x, carry)
         x = x.at[:, 0].add(0.01 * x[:, 1])  # stand-in plant step
         jax.block_until_ready(u0)
     dt_block = (time.perf_counter() - t0) / n_replans
@@ -85,7 +86,7 @@ def main():
     # what local-attached TPU hardware sees per replan)
     t0 = time.perf_counter()
     for _ in range(n_replans):
-        u0, us_warm, mc = step(x, us_warm)
+        u0, carry, mc = step(x, carry)
     jax.block_until_ready(u0)
     dt_sust = (time.perf_counter() - t0) / n_replans
 

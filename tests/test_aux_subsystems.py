@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +38,7 @@ def make_problem(dtype=jnp.float64, horizon=H):
     )
 
 
+@pytest.mark.slow
 def test_derivative_self_check():
     """≙ the reference's embedded debug Taylor verification
     (problem.hpp:999-1139) as an opt-in diagnostic."""
@@ -68,6 +71,7 @@ def test_chronometer_and_trace(tmp_path):
     assert len(open(tr.primal).read().splitlines()) == 2
 
 
+@pytest.mark.slow
 def test_mpc_receding_horizon():
     """Warm-started replanning drives the pendulum to the target AND settles
     it there (BASELINE configs[5]-class driver, single scenario).
@@ -132,6 +136,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_mesh_sharded_batch_solve():
     """Batch axis sharded over the 8-device CPU mesh EQUALS the unsharded
     vmap solve — a wrong psum, a sharding-axis mix-up, or a silently
@@ -164,11 +169,12 @@ def test_mesh_sharded_batch_solve():
     assert int(stats["n_converged"]) == int(jnp.sum(ref.stats.converged))
 
 
+@pytest.mark.slow
 def test_batch_mpc_step_on_mesh():
     """Fleet MPC: batched replanning sharded over the 8-device mesh
     (BASELINE configs[5] code path on virtual devices)."""
     from ddp_tpu.parallel.mesh import make_batch_mesh
-    from ddp_tpu.solver.mpc import make_batch_mpc_step
+    from ddp_tpu.solver.mpc import init_batch_carry, make_batch_mpc_step
 
     problem = make_problem(dtype=jnp.float64, horizon=20)
     params = SolverParams(max_iterations=3, threshold=1e-6, mu=1e5)
@@ -182,21 +188,38 @@ def test_batch_mpc_step_on_mesh():
     x = jax.device_put(
         jnp.stack([jnp.array([0.03 * i, 0.0]) for i in range(B)]), sh
     )
-    us_warm = jax.device_put(jnp.zeros((B, 20, 1)), sh)
+    carry = init_batch_carry(problem, B, jnp.float64, x0s=jnp.asarray(np.asarray(x)))
+    carry = jax.device_put(carry, jax.tree.map(lambda _: sh, carry))
 
     from ddp_tpu.solver.batched import solve_batched
 
     # unsharded reference state (device_get strips the mesh sharding)
     x_ref = jnp.asarray(np.asarray(x))
-    us_warm_ref = jnp.asarray(np.asarray(us_warm))
+    carry_ref = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), carry)
+    ref_solve = jax.jit(
+        lambda xr, cr: solve_batched(
+            problem,
+            params,
+            xr,
+            us_init=cr.us_warm,
+            mults_init=cr.mults,
+            mu_init=jnp.maximum(cr.mu, params.mu),
+            reg_init=jnp.maximum(cr.reg, params.reg),
+        )
+    )
+    from ddp_tpu.solver.mpc import MPCCarry as _Carry
+
     for _ in range(3):
-        u0, us_warm, mean_c = step(x, us_warm)
+        u0, carry, mean_c = step(x, carry)
         x = jax.vmap(lambda xx, uu: problem.dynamics(0, xx, uu))(x, u0)
-        # unsharded reference replan on the same state
-        res = jax.jit(
-            lambda xr, ur: solve_batched(problem, params, xr, us_init=ur)
-        )(x_ref, us_warm_ref)
-        us_warm_ref = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
+        # unsharded reference replan (same warm-start rule) on the same state
+        res = ref_solve(x_ref, carry_ref)
+        carry_ref = _Carry(
+            us_warm=jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1),
+            mults=res.mults,
+            mu=jnp.clip(res.mu / 10.0, params.mu, 100.0 * params.mu),
+            reg=res.reg,
+        )
         np.testing.assert_allclose(
             np.asarray(u0), np.asarray(res.us[:, 0]), rtol=1e-6, atol=1e-8
         )
@@ -210,6 +233,101 @@ def test_batch_mpc_step_on_mesh():
     np.testing.assert_allclose(
         np.asarray(x), np.asarray(x_ref), rtol=1e-6, atol=1e-8
     )
+
+
+def test_mpc_multiplier_warm_start_beats_cold():
+    """Carrying (mults, μ, reg) across replans reaches lower constraint
+    violation at a fixed 3-iteration budget than controls-only warm starts
+    (VERDICT r2 item 3: an MPC loop that drops multiplier state re-pays the
+    AL feasibility ramp every replan).  ≙ the multiplier state the
+    reference's solve() threads across AL iterations (ddp.hpp:677-695)."""
+    dtype = jnp.float64
+    model = pendulum(1.0, 1.0, dtype=dtype)
+    dyn = dynamics.euler(model, 0.01)
+    horizon = 30
+    con = constraints.advance_time(
+        constraints.StateTarget(
+            model=model,
+            target=jnp.asarray([3.14, 0.0], dtype=dtype),
+            active_ts=(horizon,),
+        ),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=horizon,
+    )
+    params = SolverParams(
+        max_iterations=3, threshold=1e-12, mu=1e4, inner_iters_max=1
+    )
+
+    def run(warm_mults, n_replans, advance_plant):
+        step = make_mpc_step(problem, params, warm_mults=warm_mults)
+        carry = init_carry(problem, dtype=dtype)
+        x = jnp.zeros(2, dtype)
+        ocs = []
+        for _ in range(n_replans):
+            out = step(x, carry)
+            carry = out.carry
+            if advance_plant:
+                x = problem.dynamics(0, x, out.u0)
+            ocs.append(float(out.opt_constr))
+        return np.asarray(ocs), x
+
+    # (a) static replans (same x): warm-started re-solves CONTINUE the AL
+    # ramp — the violation keeps dropping; cold re-solves are stuck at the
+    # 3-iteration floor forever
+    oc_warm_s, _ = run(True, 12, advance_plant=False)
+    oc_cold_s, _ = run(False, 12, advance_plant=False)
+    assert np.isfinite(oc_warm_s).all()
+    assert oc_warm_s[-1] < 0.1 * oc_cold_s[-1], (oc_warm_s[-1], oc_cold_s[-1])
+    # cold never improves (each replan repeats the same truncated solve,
+    # modulo the us_warm shift)
+    assert oc_cold_s[-1] > 0.5 * oc_cold_s[1]
+
+    # (b) closed loop: warm starts lower both the steady-state violation and
+    # the worst-case excursion (cold loops re-pay the AL ramp and spike)
+    oc_warm, x_warm = run(True, 40, advance_plant=True)
+    oc_cold, _ = run(False, 40, advance_plant=True)
+    assert np.isfinite(x_warm).all() and np.isfinite(oc_warm).all()
+    tail = slice(10, None)
+    assert np.median(oc_warm[tail]) < 0.8 * np.median(oc_cold[tail]), (
+        np.median(oc_warm[tail]),
+        np.median(oc_cold[tail]),
+    )
+    assert oc_warm[tail].max() < 0.25 * oc_cold[tail].max(), (
+        oc_warm[tail].max(),
+        oc_cold[tail].max(),
+    )
+
+
+def test_mpc_carry_checkpoint_resume(tmp_path):
+    """The full MPCCarry persists through utils/checkpoint.py and resumes
+    bit-identically (SURVEY §5: checkpointed warm starts are the genuine
+    addition over the reference)."""
+    problem = make_problem(horizon=20)
+    params = SolverParams(max_iterations=2, threshold=1e-8, mu=1e4)
+    step = make_mpc_step(problem, params)
+    carry = init_carry(problem, dtype=jnp.float64)
+    x = jnp.asarray([0.2, 0.0])
+    for _ in range(3):
+        out = step(x, carry)
+        carry = out.carry
+        x = problem.dynamics(0, x, out.u0)
+
+    path = str(tmp_path / "mpc_carry.npz")
+    checkpoint.save(path, carry)
+    restored = checkpoint.load(path, jax.tree.map(jnp.zeros_like, carry))
+    out_a = step(x, carry)
+    out_b = step(x, restored)
+    np.testing.assert_array_equal(np.asarray(out_a.u0), np.asarray(out_b.u0))
+    np.testing.assert_array_equal(
+        np.asarray(out_a.carry.mults.val), np.asarray(out_b.carry.mults.val)
+    )
+    assert float(out_a.carry.mu) == float(out_b.carry.mu)
 
 
 def test_trajectory_config_target():
