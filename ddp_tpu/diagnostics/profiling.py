@@ -57,6 +57,50 @@ class ConvergenceTrace:
         log_file(self.primal).flush()
         log_file(self.dual).flush()
 
+    def record_history(self, history) -> None:
+        """Append a whole ``SolveHistory`` (solve(..., history=True)) —
+        one primal/dual line per executed iteration, stopping at the first
+        converged row (the fixed-length scan repeats it afterwards)."""
+        import numpy as np
+
+        done = np.asarray(history.done)
+        n = int(done.argmax()) + 1 if done.any() else done.shape[0]
+        for oc, oo in zip(
+            np.asarray(history.opt_constr)[:n], np.asarray(history.opt_obj)[:n]
+        ):
+            self.record(oc, oo)
+
+
+def format_history(history) -> str:
+    """Render a ``SolveHistory`` as the reference's per-iteration stdout
+    block (μ/reg/w/n/step/‖eq‖ + optimality measures, ddp.hpp:807-838)."""
+    import numpy as np
+
+    done = np.asarray(history.done)
+    n = int(done.argmax()) + 1 if done.any() else done.shape[0]
+    lines = [
+        f"{'it':>4} {'mu':>10} {'reg':>10} {'w':>10} {'n':>10} {'step':>8}"
+        f" {'opt_obj':>10} {'opt_lag':>10} {'|eq|':>10} upd"
+    ]
+    for i in range(n):
+        upd = (
+            "p+=mu*eq"
+            if bool(np.asarray(history.upd_success)[i])
+            else ("mu*=10" if bool(np.asarray(history.upd_failure)[i]) else "-")
+        )
+        lines.append(
+            f"{i:>4} {float(np.asarray(history.mu)[i]):>10.3e}"
+            f" {float(np.asarray(history.reg)[i]):>10.3e}"
+            f" {float(np.asarray(history.w)[i]):>10.3e}"
+            f" {float(np.asarray(history.n)[i]):>10.3e}"
+            f" {float(np.asarray(history.step)[i]):>8.4f}"
+            f" {float(np.asarray(history.opt_obj)[i]):>10.3e}"
+            f" {float(np.asarray(history.opt_lag)[i]):>10.3e}"
+            f" {float(np.asarray(history.opt_constr)[i]):>10.3e}"
+            f" {upd}"
+        )
+    return "\n".join(lines)
+
 
 def device_profile(path: str = "/tmp/jax-trace"):
     """jax.profiler trace context for TPU timeline capture."""

@@ -87,12 +87,35 @@ class SolverParams(NamedTuple):
 
 class SolveStats(NamedTuple):
     iterations: jax.Array
-    opt_obj: jax.Array
+    opt_lag: jax.Array  # μ-free Lagrangian stationarity (the stopping measure)
+    opt_obj: jax.Array  # μ-dependent AL stationarity (≙ ddp.hpp:575-627's
+    # optimality_obj, the multiplier-update gate measure)
     opt_constr: jax.Array
     mu: jax.Array
     reg: jax.Array
     step: jax.Array
     converged: jax.Array
+
+
+class SolveHistory(NamedTuple):
+    """Per-iteration solver state, stacked over the iteration axis.
+
+    ≙ the reference's per-iteration stdout block (μ/reg/w/n/step/‖eq‖,
+    ddp.hpp:807-838) plus its primal/dual optimality trace files
+    (ddp.hpp:651-664).  Rows after convergence repeat the converged state
+    (the fixed-length scan freezes the carry once ``done``)."""
+
+    mu: jax.Array  # [I] penalty after this iteration's update decision
+    reg: jax.Array  # [I] regularization after the backward/forward pair
+    w: jax.Array  # [I] inner-convergence tolerance
+    n: jax.Array  # [I] constraint-progress tolerance
+    step: jax.Array  # [I] accepted line-search step
+    opt_obj: jax.Array  # [I] μ-dependent AL stationarity (dual trace)
+    opt_lag: jax.Array  # [I] μ-free Lagrangian stationarity
+    opt_constr: jax.Array  # [I] max_t ‖eq‖ (primal trace)
+    upd_success: jax.Array  # [I] bool: first-order multiplier update fired
+    upd_failure: jax.Array  # [I] bool: μ·10 escalation fired
+    done: jax.Array  # [I] bool: converged at iteration start
 
 
 class SolveResult(NamedTuple):
@@ -102,6 +125,7 @@ class SolveResult(NamedTuple):
     fb_K: jax.Array  # [T, nu, ndx]  feedback gains
     mults: al_mod.AffineMults
     stats: SolveStats
+    history: SolveHistory | None = None  # solve(..., history=True) only
 
 
 def solve(
@@ -112,13 +136,21 @@ def solve(
     method: Method = Method.PRIMAL_DUAL_AFFINE,
     precise: bool = False,
     mults_init_jac: jax.Array | None = None,
+    history: bool = False,
 ) -> SolveResult:
     """``precise=True`` runs the finite-precision-critical stages in
     double-float (solver/precise.py): TF Riccati sweep, TF line-search
     acceptance sums, TF optimality reductions.  The TPU-native analog of
     instantiating the reference at MPFR scalars (test/pendulum_ddp.cpp:15-17)
     — same algorithm, wider accumulators, still f32 storage and Pallas/VPU
-    ops."""
+    ops.
+
+    ``history=True`` records per-iteration solver state (SolveHistory — the
+    reference's μ/reg/w/n/step/‖eq‖ stdout block and primal/dual trace
+    files, ddp.hpp:807-838, 651-664) into ``SolveResult.history``.  The
+    outer loop then runs as a fixed-length scan of ``max_iterations``
+    (converged iterations freeze the carry and repeat their row) instead of
+    an early-exiting while_loop — same final iterate, no early exit."""
     T, nu, ne, ndx = problem.horizon, problem.nu, problem.ne, problem.ndx
     dtype = x_init.dtype
     model = problem.model
@@ -197,7 +229,7 @@ def solve(
         reg: jax.Array
         w: jax.Array
         n: jax.Array
-        opt_obj: jax.Array
+        opt_lag: jax.Array
         opt_constr: jax.Array
         step: jax.Array
         opt_obj_prev: jax.Array
@@ -208,7 +240,7 @@ def solve(
     def cond(c: Carry):
         return jnp.logical_and(c.it < params.max_iterations, ~c.done)
 
-    def body(c: Carry) -> Carry:
+    def body(c: Carry) -> tuple[Carry, SolveHistory]:
         # --- update_derivatives (ddp.hpp:641-696) ---
         derivs = problem.derivatives(c.xs, c.us)
         mults = al_mod.update_origin(model, c.mults, c.xs)
@@ -283,8 +315,21 @@ def solve(
         )
 
         keep = lambda old, new: jnp.where(done, old, new)
-        return Carry(
-            it=c.it + 1,
+        rec = SolveHistory(
+            mu=keep(c.mu, bres.mu),
+            reg=keep(c.reg, reg),
+            w=keep(c.w, w_new),
+            n=keep(c.n, n_new),
+            step=keep(c.step, fwd.step),
+            opt_obj=opt_obj,
+            opt_lag=opt_lag,
+            opt_constr=opt_constr,
+            upd_success=upd_success,
+            upd_failure=upd_failure,
+            done=done,
+        )
+        new_c = Carry(
+            it=jnp.where(c.done, c.it, c.it + 1),
             done=done,
             xs=keep(c.xs, fwd.xs),
             us=keep(c.us, fwd.us),
@@ -296,7 +341,7 @@ def solve(
             reg=keep(c.reg, reg),
             w=keep(c.w, w_new),
             n=keep(c.n, n_new),
-            opt_obj=opt_lag,
+            opt_lag=opt_lag,
             opt_constr=opt_constr,
             step=keep(c.step, fwd.step),
             opt_obj_prev=opt_obj,
@@ -307,6 +352,7 @@ def solve(
                 c.inner + 1,
             ),
         )
+        return new_c, rec
 
     init = Carry(
         it=jnp.asarray(0),
@@ -321,14 +367,20 @@ def solve(
         reg=reg,
         w=w,
         n=n,
-        opt_obj=jnp.asarray(jnp.inf, dtype),
+        opt_lag=jnp.asarray(jnp.inf, dtype),
         opt_constr=jnp.asarray(jnp.inf, dtype),
         step=fwd.step,
         opt_obj_prev=jnp.asarray(jnp.inf, dtype),
         just_changed=jnp.asarray(True),
         inner=jnp.asarray(1, jnp.int32),  # the pre-loop bwd/fwd already ran
     )
-    final = jax.lax.while_loop(cond, body, init)
+    if history:
+        final, hist = jax.lax.scan(
+            lambda c, _: body(c), init, None, length=params.max_iterations
+        )
+    else:
+        final = jax.lax.while_loop(cond, lambda c: body(c)[0], init)
+        hist = None
 
     return SolveResult(
         xs=final.xs,
@@ -338,11 +390,13 @@ def solve(
         mults=final.mults,
         stats=SolveStats(
             iterations=final.it,
-            opt_obj=final.opt_obj,
+            opt_lag=final.opt_lag,
+            opt_obj=final.opt_obj_prev,
             opt_constr=final.opt_constr,
             mu=final.mu,
             reg=final.reg,
             step=final.step,
             converged=final.done,
         ),
+        history=hist,
     )

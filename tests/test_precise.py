@@ -5,6 +5,8 @@ MPFR 500/1000-digit scalars (test/pendulum_ddp.cpp:15-17,
 test/pinocchio_mpfr_500.cpp:1-17).  Here the envelope is double-float on the
 f32 pipeline; float64-on-CPU plays the exactness oracle."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -141,6 +143,7 @@ def test_tf_al_cost_resolves_sub_eps_deltas():
     np.testing.assert_allclose(delta_tf, d64, rtol=0.25)
 
 
+@pytest.mark.slow
 def test_precise_solve_tightens_f32_floor():
     """An f32 solve with the TF envelope reaches a tighter constraint/
     stationarity floor than the plain f32 solve, approaching the f64 run
@@ -158,8 +161,8 @@ def test_precise_solve_tightens_f32_floor():
     c_plain = float(res_plain.stats.opt_constr)
     c_tf = float(res_tf.stats.opt_constr)
     c_64 = float(res_64.stats.opt_constr)
-    l_plain = float(res_plain.stats.opt_obj)
-    l_tf = float(res_tf.stats.opt_obj)
+    l_plain = float(res_plain.stats.opt_lag)
+    l_tf = float(res_tf.stats.opt_lag)
 
     # all converge to the swing-up
     np.testing.assert_allclose(float(res_tf.xs[-1, 0]), 3.14, atol=1e-2)
@@ -171,6 +174,7 @@ def test_precise_solve_tightens_f32_floor():
     assert c_tf < 100 * max(c_64, 1e-9), (c_tf, c_64)
 
 
+@pytest.mark.slow
 def test_tf_optimality_matches_f64():
     problem = make_problem(horizon=30, dtype=jnp.float32)
     x0 = jnp.asarray([0.2, 0.0], jnp.float32)
