@@ -29,6 +29,8 @@ This module applies it where finite precision actually binds the solver:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -145,6 +147,64 @@ def optimality_lag_tf(problem, derivs, mult_val, mult_jac) -> jax.Array:
     )  # fmt: skip
     _, scores = jax.lax.scan(step, _F(derivs.lfx), inputs, reverse=True)
     return jnp.max(scores)
+
+
+class MultsTF(NamedTuple):
+    """Affine multiplier sequence with double-float value/jac accumulators.
+
+    The reference's multipliers live in MPFR scalars end-to-end
+    (pinocchio_model.hpp:15); here the hi parts stay the f32 arrays every
+    other solver stage consumes, while the lo parts carry the rounding
+    residue of the two accumulating recurrences across iterations:
+
+    - ``update_origin``: val += jac·(x_new ⊖ origin) every iteration, and
+    - the AL update: val += μ·(eq + eq_u·k),  jac += μ·(eq_x + eq_u·K),
+
+    both of which compound f32 round-off precisely when μ is large and the
+    increments are small (late iterations).  ≙ mat_seq_common.hpp:62-89 and
+    ddp.hpp:677-695 under an MPFR scalar."""
+
+    hi: al_mod.AffineMults
+    lo_val: jax.Array  # [T, m]
+    lo_jac: jax.Array  # [T, m, ndx]
+
+    @classmethod
+    def from_plain(cls, mults: al_mod.AffineMults) -> "MultsTF":
+        return cls(
+            hi=mults,
+            lo_val=jnp.zeros_like(mults.val),
+            lo_jac=jnp.zeros_like(mults.jac),
+        )
+
+
+def update_origin_tf(model, m: MultsTF, xs) -> MultsTF:
+    """update_origin (mat_seq_common.hpp:62-89) with compensated
+    accumulation: val' = val ⊕ jac·d in TF; jac' = jac·J with the product
+    round-off folded into lo_jac."""
+    from ddp_tpu.models.base import state_difference, state_difference_jacobian
+
+    def one(val, vlo, jac, jlo, origin, x_new):
+        d = state_difference(model, origin, x_new)
+        J = state_difference_jacobian(model, origin, x_new)
+        acc = tf.add(TF(val, vlo), tf.matvec(TF(jac, jlo), _F(d)))
+        jac_new = tf.matmat(TF(jac, jlo), _F(J))
+        return acc.hi, acc.lo, jac_new.hi, jac_new.lo, x_new
+
+    val, vlo, jac, jlo, origin = jax.vmap(one)(
+        m.hi.val, m.lo_val, m.hi.jac, m.lo_jac, m.hi.origin, xs[:-1]
+    )
+    return MultsTF(al_mod.AffineMults(val, jac, origin), vlo, jlo)
+
+
+def mult_update_tf(m: MultsTF, gain, val_inc, jac_inc) -> MultsTF:
+    """Compensated first-order AL update (ddp.hpp:680-688):
+    val ⊕= gain·val_inc, jac ⊕= gain·jac_inc, with the gain products
+    error-free (two_prod) and the sums carried in TF."""
+    val = tf.add(TF(m.hi.val, m.lo_val), _mul_scalar(gain, val_inc))
+    jac = tf.add(TF(m.hi.jac, m.lo_jac), _mul_scalar(gain, jac_inc))
+    return MultsTF(
+        al_mod.AffineMults(val.hi, jac.hi, m.hi.origin), val.lo, jac.lo
+    )
 
 
 def backward_sweep_tf(derivs, mult_val, mult_jac, mu, reg):

@@ -222,6 +222,10 @@ def solve(
         xs: jax.Array
         us: jax.Array
         mults: al_mod.AffineMults
+        m_lo_val: jax.Array  # [T, ne] double-float residue of mults.val
+        m_lo_jac: jax.Array  # [T, ne, ndx] … of mults.jac (precise=True;
+        # zeros otherwise — the two accumulating multiplier recurrences
+        # (update_origin, p += μ·eq) carry their f32 round-off here)
         fb_val: jax.Array
         fb_jac: jax.Array
         fb_origin: jax.Array
@@ -243,8 +247,18 @@ def solve(
     def body(c: Carry) -> tuple[Carry, SolveHistory]:
         # --- update_derivatives (ddp.hpp:641-696) ---
         derivs = problem.derivatives(c.xs, c.us)
-        mults = al_mod.update_origin(model, c.mults, c.xs)
+        if precise:
+            m_tf = precise_mod.update_origin_tf(
+                model,
+                precise_mod.MultsTF(c.mults, c.m_lo_val, c.m_lo_jac),
+                c.xs,
+            )
+            mults, m_lo_val, m_lo_jac = m_tf.hi, m_tf.lo_val, m_tf.lo_jac
+        else:
+            mults = al_mod.update_origin(model, c.mults, c.xs)
+            m_lo_val, m_lo_jac = c.m_lo_val, c.m_lo_jac
         mults = mults._replace(jac=constrain_jac(mults.jac))
+        m_lo_jac = constrain_jac(m_lo_jac)
         fbm = al_mod.update_origin(
             model,
             al_mod.AffineMults(c.fb_val, c.fb_jac, c.fb_origin),
@@ -284,9 +298,20 @@ def solve(
             if method is Method.PRIMAL
             else jnp.einsum("tou,tuj->toj", derivs.equ, fbm.jac)
         )
-        new_val = mults.val + gain * (derivs.eq + fb_term)
-        new_jac = mults.jac + gain * (derivs.eqx + fb_term_jac)
-        mults = mults._replace(val=new_val, jac=constrain_jac(new_jac))
+        if precise:
+            m_tf = precise_mod.mult_update_tf(
+                precise_mod.MultsTF(mults, m_lo_val, m_lo_jac),
+                gain,
+                derivs.eq + fb_term,
+                derivs.eqx + fb_term_jac,
+            )
+            mults, m_lo_val, m_lo_jac = m_tf.hi, m_tf.lo_val, m_tf.lo_jac
+            mults = mults._replace(jac=constrain_jac(mults.jac))
+            m_lo_jac = constrain_jac(m_lo_jac)
+        else:
+            new_val = mults.val + gain * (derivs.eq + fb_term)
+            new_jac = mults.jac + gain * (derivs.eqx + fb_term_jac)
+            mults = mults._replace(val=new_val, jac=constrain_jac(new_jac))
 
         # Tolerance schedule.  The reference tightens n = opt_obj/μ^0.1 and
         # w /= μ (ddp.hpp:795-797) — but opt_obj is μ-scaled, so under finite
@@ -334,6 +359,8 @@ def solve(
             xs=keep(c.xs, fwd.xs),
             us=keep(c.us, fwd.us),
             mults=jax.tree.map(keep, c.mults, mults),
+            m_lo_val=keep(c.m_lo_val, m_lo_val),
+            m_lo_jac=keep(c.m_lo_jac, m_lo_jac),
             fb_val=keep(c.fb_val, bres.k),
             fb_jac=keep(c.fb_jac, bres.K),
             fb_origin=keep(c.fb_origin, c.xs[:-1]),
@@ -360,6 +387,8 @@ def solve(
         xs=xs,
         us=us,
         mults=mults,
+        m_lo_val=jnp.zeros_like(mults.val),
+        m_lo_jac=jnp.zeros_like(mults.jac),
         fb_val=fb_val,
         fb_jac=fb_jac,
         fb_origin=fb_origin,
