@@ -54,6 +54,40 @@ def batch_sharded_solve(problem, params: SolverParams, mesh: Mesh):
     return jax.jit(shard, in_shardings=(x_sharding,))
 
 
+def batch_sharded_solve_batched(problem, params: SolverParams, mesh: Mesh, **kw):
+    """jit the fixed-budget production path (solver/batched.py::solve_batched)
+    with the batch axis sharded over ``mesh``.
+
+    ``**kw`` forwards to solve_batched (backward=..., n_reg_levels=...,
+    interpret=..., ...), so the Pallas backends run per-shard — each device
+    launches the batch-on-lanes kernel on its local batch block.  Returns
+    fn(x0s [B, nx]) -> (BatchSolveResult, stats dict with the psum-reduced
+    convergence aggregate)."""
+    from ddp_tpu.solver import al as al_mod
+    from ddp_tpu.solver.batched import BatchSolveResult, solve_batched
+
+    def shard_fn(x0s):
+        res = solve_batched(problem, params, x0s, **kw)
+        n_total = jax.lax.psum(x0s.shape[0], "batch")
+        mean_constr = jax.lax.psum(jnp.sum(res.opt_constr), "batch") / n_total
+        return res, {"mean_constr": mean_constr}
+
+    b = P("batch")
+    res_spec = BatchSolveResult(
+        xs=b, us=b, fb_k=b, fb_K=b, opt_constr=b, opt_lag=b, mu=b,
+        mults=al_mod.AffineMults(val=b, jac=b, origin=b), reg=b,
+    )  # fmt: skip
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P("batch"),
+        out_specs=(res_spec, P()),
+        check_vma=False,
+    )
+    x_sharding = NamedSharding(mesh, P("batch"))
+    return jax.jit(shard, in_shardings=(x_sharding,))
+
+
 def multihost_init(coordinator_address: str | None = None, **kw) -> None:
     """Initialize multi-host JAX (no-op on single host).
 

