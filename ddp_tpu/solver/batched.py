@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ddp_tpu.solver import al as al_mod
+from ddp_tpu.solver.riccati import factor_solve
 from ddp_tpu.solver.rollout import feedback_rollout
 from ddp_tpu.solver.solve import Method, SolverParams
 
@@ -117,10 +118,7 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
             + jnp.einsum("o,oij->ij", tmp, equx)
             + jnp.einsum("o,oij->ij", Vx, fux)
         )  # fmt: skip
-        chol = jnp.linalg.cholesky(Quu + reg * I_u)
-        ok_t = jnp.all(jnp.isfinite(chol))
-        k = -jax.scipy.linalg.cho_solve((chol, True), Qu)
-        K = -jax.scipy.linalg.cho_solve((chol, True), Qux)
+        ok_t, k, K = factor_solve(Quu + reg * I_u, Qu, Qux)
         Vx_new = Qx + Qux.T @ k
         Vxx_new = Qxx + Qux.T @ K
         return (Vx_new, Vxx_new), (k, K, ok_t)

@@ -29,6 +29,23 @@ def _chol_solve(chol, rhs):
     return jax.scipy.linalg.cho_solve((chol, True), rhs)
 
 
+def factor_solve(A, *rhs):
+    """Cholesky-factor A and solve A·x = −rhs for each rhs.
+
+    bf16 inputs factor in f32 ("bf16 storage, f32 factorization" — the MXU
+    accumulates bf16 matmuls in f32 anyway, and neither LAPACK nor the TPU
+    solver stack implements a bf16 Cholesky); results are cast back to the
+    working dtype.  Returns (ok, x1, x2, ...)."""
+    dtype = A.dtype
+    fdtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+    chol = jnp.linalg.cholesky(A.astype(fdtype))
+    ok = jnp.all(jnp.isfinite(chol))
+    outs = tuple(
+        (-_chol_solve(chol, r.astype(fdtype))).astype(dtype) for r in rhs
+    )
+    return (ok,) + outs
+
+
 def backward_pass(
     derivs,
     mult_val: jax.Array,  # [T, ne]      pe   (multiplier value at origin = x_t)
@@ -86,10 +103,7 @@ def backward_pass(
             # Factor Quu + reg·I (ddp_bwd.ipp:102-104).  cholesky returns NaN
             # on non-PD input, which poisons V and flips `ok` — the analog of
             # the reference's break-and-restart.
-            chol = jnp.linalg.cholesky(Quu + reg * I_u)
-            ok_t = jnp.all(jnp.isfinite(chol))
-            k = -_chol_solve(chol, Qu)
-            K = -_chol_solve(chol, Qux)
+            ok_t, k, K = factor_solve(Quu + reg * I_u, Qu, Qux)
 
             # Simplified V-update as in the reference (ddp_bwd.ipp:141-147).
             Vx_new = Qx + Qux.T @ k
