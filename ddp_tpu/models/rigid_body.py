@@ -223,6 +223,17 @@ class RobotModel:
     frame_names: tuple = dataclasses.field(default=(), metadata={"static": True})
     name: str = dataclasses.field(default="robot", metadata={"static": True})
 
+    # joint limits (≙ pinocchio::model_t lower/upperPositionLimit,
+    # velocityLimit, effortLimit — ingested by the reference via urdfdom,
+    # pinocchio_model.ipp:98-113).  Unlimited joints hold ±inf / inf.  The
+    # equality-constrained solver does not enforce them; they are model
+    # metadata for callers (box penalties, sampling, validation).  None on
+    # hand-built models that never set them (pytree-empty, costs nothing).
+    q_lower: jax.Array | None = None  # [nq]
+    q_upper: jax.Array | None = None  # [nq]
+    v_limit: jax.Array | None = None  # [nv]
+    tau_limit: jax.Array | None = None  # [nv]
+
     # ---- dims (static) ----
     @property
     def nb(self) -> int:
@@ -659,7 +670,8 @@ def build_model(
     """Assemble a RobotModel from per-joint dicts:
 
     dict(type=..., parent=int, placement_rot=3×3, placement_trans=3,
-         axis=3, mass=float, com=3, inertia=3×3)
+         axis=3, mass=float, com=3, inertia=3×3,
+         limit=dict(lower=, upper=, velocity=, effort=))  # optional, 1-DoF
 
     frames: list of dict(name=..., body=int, rot=3×3, trans=3).
     """
@@ -688,6 +700,31 @@ def build_model(
 
     joint_types = tuple(j["type"] for j in joints)
     nv = sum(JOINT_DIMS[t][1] for t in joint_types)
+
+    # joint limits: scatter per-joint 1-DoF limit dicts into the q/v layout;
+    # unlimited (multi-DoF, continuous-position, absent) slots stay ±inf
+    nq = sum(JOINT_DIMS[t][0] for t in joint_types)
+    q_lower = np.full(nq, -np.inf)
+    q_upper = np.full(nq, np.inf)
+    v_limit = np.full(nv, np.inf)
+    tau_limit = np.full(nv, np.inf)
+    qo = vo = 0
+    for j, t in zip(joints, joint_types):
+        dq, dv = JOINT_DIMS[t]
+        lim = j.get("limit")
+        if lim and dv == 1:
+            if t in ("revolute", "prismatic"):
+                if lim.get("lower") is not None:
+                    q_lower[qo] = float(lim["lower"])
+                if lim.get("upper") is not None:
+                    q_upper[qo] = float(lim["upper"])
+            if lim.get("velocity") is not None:
+                v_limit[vo] = float(lim["velocity"])
+            if lim.get("effort") is not None:
+                tau_limit[vo] = float(lim["effort"])
+        qo += dq
+        vo += dv
+
     return RobotModel(
         jp_rot=jnp.asarray(jp_rot, dtype),
         jp_trans=jnp.asarray(jp_trans, dtype),
@@ -702,6 +739,10 @@ def build_model(
         frame_bodies=tuple(f["body"] for f in frames),
         frame_names=tuple(f.get("name", f"frame{k}") for k, f in enumerate(frames)),
         name=name,
+        q_lower=jnp.asarray(q_lower, dtype),
+        q_upper=jnp.asarray(q_upper, dtype),
+        v_limit=jnp.asarray(v_limit, dtype),
+        tau_limit=jnp.asarray(tau_limit, dtype),
     )
 
 

@@ -92,3 +92,123 @@ def test_pendulum_urdf_matches_closed_form():
     I_tot = 0.03 + 2.0 * 0.4**2 + 1e-4 + 0.5 * 0.8**2
     torque_g = -(2.0 * 9.81 * 0.4 + 0.5 * 9.81 * 0.8) * np.sin(0.3)
     np.testing.assert_allclose(a, torque_g / I_tot, rtol=1e-10)
+
+
+GRIPPER_URDF = """
+<robot name="gripper">
+  <link name="base">
+    <inertial><mass value="1.0"/><origin xyz="0 0 0"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01"/></inertial>
+  </link>
+  <joint name="lift" type="revolute">
+    <parent link="base"/><child link="palm"/>
+    <origin xyz="0 0 0.1"/><axis xyz="0 1 0"/>
+    <limit lower="-1.0" upper="1.5" velocity="2.0" effort="30.0"/>
+  </joint>
+  <link name="palm">
+    <inertial><mass value="0.5"/><origin xyz="0 0 0.05"/>
+      <inertia ixx="0.002" iyy="0.002" izz="0.001"/></inertial>
+  </link>
+  <joint name="finger_l" type="prismatic">
+    <parent link="palm"/><child link="tip_l"/>
+    <origin xyz="0.02 0 0.1"/><axis xyz="1 0 0"/>
+    <limit lower="0.0" upper="0.04" velocity="0.2" effort="10.0"/>
+  </joint>
+  <link name="tip_l">
+    <inertial><mass value="0.1"/><origin xyz="0 0 0.01"/>
+      <inertia ixx="1e-4" iyy="1e-4" izz="1e-4"/></inertial>
+  </link>
+  <joint name="finger_r" type="prismatic">
+    <parent link="palm"/><child link="tip_r"/>
+    <origin xyz="-0.02 0 0.1"/><axis xyz="-1 0 0"/>
+    <mimic joint="finger_l" multiplier="1.0" offset="0.0"/>
+    <limit lower="0.0" upper="0.04" velocity="0.2" effort="10.0"/>
+  </joint>
+  <link name="tip_r">
+    <inertial><mass value="0.1"/><origin xyz="0 0 0.01"/>
+      <inertia ixx="1e-4" iyy="1e-4" izz="1e-4"/></inertial>
+  </link>
+</robot>
+"""
+
+
+def test_joint_limits_parsed():
+    """<limit> elements populate the model's limit arrays in the q/v layout
+    (≙ pinocchio::model_t position/velocity/effort limits via urdfdom)."""
+    m = load_urdf(MINI_URDF, backend="python")
+    # MINI_URDF declares no limits → unbounded
+    assert np.isinf(np.asarray(m.q_lower)).all()
+    assert np.isinf(np.asarray(m.tau_limit)).all()
+
+    g = load_urdf(GRIPPER_URDF, backend="python")
+    # reduced model: masters are (lift, finger_l)
+    np.testing.assert_allclose(np.asarray(g.q_lower), [-1.0, 0.0])
+    np.testing.assert_allclose(np.asarray(g.q_upper), [1.5, 0.04])
+    np.testing.assert_allclose(np.asarray(g.v_limit), [2.0, 0.2])
+    np.testing.assert_allclose(np.asarray(g.tau_limit), [30.0, 10.0])
+
+
+def test_mimic_reduction_dynamics():
+    """A mimic joint reduces the model (urdfdom JointMimic): the slaved
+    finger is eliminated, and the reduced dynamics equal the projected full
+    dynamics M_red = C^T M C, tau_red = C^T tau (gear reduction)."""
+    from ddp_tpu.models.reduced import ReducedModel
+
+    g = load_urdf(GRIPPER_URDF, backend="python")
+    assert isinstance(g, ReducedModel)
+    assert g.nq == g.nv == 2
+    assert g.full.nv == 3
+
+    C = np.asarray(g.coupling)
+    # masters identity rows + slaved row tied to finger_l with multiplier 1
+    np.testing.assert_allclose(C, [[1, 0], [0, 1], [0, 1]])
+
+    q = jnp.asarray([0.3, 0.02])
+    v = jnp.asarray([0.5, -0.1])
+    tau = jnp.asarray([1.0, 0.4])
+
+    M_red = np.asarray(g.mass_matrix(q))
+    M_full = np.asarray(g.full.mass_matrix(g.q_full(q)))
+    np.testing.assert_allclose(M_red, C.T @ M_full @ C, atol=1e-12)
+    assert np.all(np.linalg.eigvalsh(0.5 * (M_red + M_red.T)) > 0)
+
+    # FD/ID round trip in reduced coordinates
+    a = g.forward_dynamics(q, v, tau)
+    np.testing.assert_allclose(np.asarray(g.rnea(q, v, a)), np.asarray(tau), atol=1e-9)
+
+    # the slaved coordinate tracks the master exactly in the full map
+    qf = np.asarray(g.q_full(q))
+    assert qf[2] == qf[1]
+
+
+def test_mimic_reduced_model_solves():
+    """End-to-end: DDP solve on the reduced gripper (ConfigTarget reach)."""
+    import jax
+
+    from ddp_tpu.models import base
+    from ddp_tpu.ocp import constraints, costs, dynamics
+    from ddp_tpu.ocp.problem import Problem
+    from ddp_tpu.solver.solve import SolverParams, solve
+
+    g = load_urdf(GRIPPER_URDF, backend="python")
+    H = 20
+    dyn = dynamics.euler(g, 0.01)
+    target = jnp.asarray([0.2, 0.03])
+    con = constraints.advance_time(
+        constraints.ConfigTarget(model=g, target=target, active_ts=(H,)),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=jnp.float64),
+        constraint=con,
+        horizon=H,
+        second_order=False,
+    )
+    params = SolverParams(max_iterations=30, threshold=1e-8, mu=1e6)
+    x0 = base.state_pack(g.neutral_configuration(), jnp.zeros(2, jnp.float64))
+    res = jax.jit(lambda x: solve(problem, params, x))(x0)
+    assert float(res.stats.opt_constr) < 1e-6
+    qT = np.asarray(res.xs[-1, :2])
+    np.testing.assert_allclose(qT, np.asarray(target), atol=1e-5)
