@@ -65,10 +65,22 @@ def main():
         np.asarray(x0)[None] + 0.1 * rng.standard_normal((B, problem.nx)), dtype
     )
 
-    for backend in ("sweep", "pallas"):
+    # (backend, matmul_precision): the None-precision rows reproduce the
+    # round-2 feasibility tail (bf16 MXU passes in the derivative/rollout
+    # stages); "highest" restores the f64-oracle feasibility — VERDICT r3
+    # item 2, docs/DESIGN.md "bf16 matmul passes and the arm feasibility
+    # tail".
+    for backend, prec in (
+        ("sweep", None),
+        ("pallas", None),
+        ("sweep", "highest"),
+        ("pallas", "highest"),
+    ):
         try:
             fn = jax.jit(
-                lambda x, b=backend: solve_batched(problem, params, x, backward=b)
+                lambda x, b=backend, p=prec: solve_batched(
+                    problem, params, x, backward=b, matmul_precision=p
+                )
             )
             r = fn(x0s)
             jax.block_until_ready(r.us)
@@ -84,6 +96,7 @@ def main():
             record(
                 "arm_backend_sweep",
                 backend=backend,
+                matmul_precision=prec or "default",
                 dims="n=12,m=6,e=6",
                 B=B,
                 H=H,
@@ -97,6 +110,7 @@ def main():
             record(
                 "arm_backend_sweep",
                 backend=backend,
+                matmul_precision=prec or "default",
                 B=B,
                 H=H,
                 error=f"{type(e).__name__}: {e}"[:300],

@@ -315,6 +315,14 @@ def solve_batched(
     # to the warm-start rollout via update_origin before the first sweep
     mu_init: jax.Array | None = None,  # [B] warm-start penalty state
     reg_init: jax.Array | None = None,  # [B] warm-start regularization
+    matmul_precision: str | None = None,
+    # None → platform default (bf16 MXU passes on TPU) | "high" (bf16x3) |
+    # "highest" (bf16x6 ≈ true f32).  On arm-class models the default bf16
+    # passes in the DERIVATIVE/ROLLOUT stages open a 10-12% infeasibility
+    # tail at 8 iterations ("highest" restores the f64-oracle feasibility
+    # exactly, +22% runtime — docs/DESIGN.md "bf16 matmul passes and the
+    # arm feasibility tail").  The Riccati sweeps already pin HIGHEST
+    # internally; this knob widens the envelope to every stage.
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
@@ -325,6 +333,15 @@ def solve_batched(
     primitive (the Pallas kernel wants the batch on the TPU lane axis — it
     could not live inside a per-sample vmap).
     """
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return solve_batched(
+                problem, params, x0s, us_init=us_init, method=method,
+                n_linesearch=n_linesearch, unroll=unroll, backward=backward,
+                forward=forward, block_b=block_b, interpret=interpret,
+                precise_cost=precise_cost, n_reg_levels=n_reg_levels,
+                mults_init=mults_init, mu_init=mu_init, reg_init=reg_init,
+            )  # fmt: skip
     T, nu = problem.horizon, problem.nu
     dtype = x0s.dtype
     model = problem.model

@@ -137,6 +137,7 @@ def solve(
     precise: bool = False,
     mults_init_jac: jax.Array | None = None,
     history: bool = False,
+    matmul_precision: str | None = None,
 ) -> SolveResult:
     """``precise=True`` runs the finite-precision-critical stages in
     double-float (solver/precise.py): TF Riccati sweep, TF line-search
@@ -150,7 +151,18 @@ def solve(
     files, ddp.hpp:807-838, 651-664) into ``SolveResult.history``.  The
     outer loop then runs as a fixed-length scan of ``max_iterations``
     (converged iterations freeze the carry and repeat their row) instead of
-    an early-exiting while_loop — same final iterate, no early exit."""
+    an early-exiting while_loop — same final iterate, no early exit.
+
+    ``matmul_precision``: None (platform default) | "high" | "highest" —
+    pins every stage's matmul passes (see solve_batched's knob; the TPU
+    default bf16 MXU passes cost feasibility on arm-class models)."""
+    if matmul_precision is not None:
+        with jax.default_matmul_precision(matmul_precision):
+            return solve(
+                problem, params, x_init, us_init=us_init, method=method,
+                precise=precise, mults_init_jac=mults_init_jac,
+                history=history,
+            )  # fmt: skip
     T, nu, ne, ndx = problem.horizon, problem.nu, problem.ne, problem.ndx
     dtype = x_init.dtype
     model = problem.model

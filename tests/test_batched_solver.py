@@ -111,3 +111,23 @@ def test_batched_pallas_backend_matches_sweep():
     np.testing.assert_allclose(
         np.asarray(pal.xs[:, -1]), np.asarray(ref.xs[:, -1]), atol=1e-3
     )
+
+
+def test_matmul_precision_knob_plumbs_through():
+    """matmul_precision pins every stage's matmul passes (the arm
+    feasibility-tail fix — docs/DESIGN.md 'bf16 matmul passes and the arm
+    feasibility tail').  On CPU all precisions are true f32/f64, so the
+    knob must be a bit-exact no-op here; the TPU effect is recorded in
+    results.jsonl arm_backend_sweep."""
+    problem = make_problem(dtype=jnp.float32)
+    params = SolverParams(max_iterations=3, threshold=1e-5, mu=1e4, inner_iters_max=1)
+    x0s = jnp.stack([jnp.asarray([0.1 * i, 0.0], jnp.float32) for i in range(4)])
+    r0 = jax.jit(lambda x: solve_batched(problem, params, x))(x0s)
+    r1 = jax.jit(
+        lambda x: solve_batched(problem, params, x, matmul_precision="highest")
+    )(x0s)
+    np.testing.assert_array_equal(np.asarray(r0.us), np.asarray(r1.us))
+    rs = jax.jit(
+        lambda x: solve(problem, params, x0s[1], matmul_precision="highest")
+    )(x0s)
+    assert np.isfinite(np.asarray(rs.us)).all()
