@@ -39,6 +39,23 @@ from ddp_tpu.solver.rollout import feedback_rollout
 from ddp_tpu.solver.solve import Method, SolverParams
 
 
+class BatchSolveHistory(NamedTuple):
+    """Per-iteration solver state for the whole batch, [I, B] each — the
+    production-path analog of solve(history=True)'s SolveHistory (≙ the
+    reference's per-iteration stdout block, ddp.hpp:807-838).  Recorded by
+    solve_batched(..., history=True); the pre-loop backward/forward pair is
+    not an outer iteration and is not recorded, matching the reference."""
+
+    mu: jax.Array
+    reg: jax.Array
+    step: jax.Array
+    opt_obj: jax.Array
+    opt_lag: jax.Array
+    opt_constr: jax.Array
+    upd_success: jax.Array
+    upd_failure: jax.Array
+
+
 class BatchSolveResult(NamedTuple):
     xs: jax.Array  # [B, T+1, nx]
     us: jax.Array  # [B, T, nu]
@@ -49,6 +66,7 @@ class BatchSolveResult(NamedTuple):
     mu: jax.Array  # [B]
     mults: al_mod.AffineMults | None = None  # [B, T, ...], re-anchored at xs
     reg: jax.Array | None = None  # [B]
+    history: BatchSolveHistory | None = None  # history=True only
 
 
 def _backward_multi_reg(
@@ -315,6 +333,8 @@ def solve_batched(
     # to the warm-start rollout via update_origin before the first sweep
     mu_init: jax.Array | None = None,  # [B] warm-start penalty state
     reg_init: jax.Array | None = None,  # [B] warm-start regularization
+    history: bool = False,  # record BatchSolveHistory ([I, B] per-iteration
+    # μ/reg/step/optimality rows) into the result
     matmul_precision: str | None = None,
     # None → platform default (bf16 MXU passes on TPU) | "high" (bf16x3) |
     # "highest" (bf16x6 ≈ true f32).  On arm-class models the default bf16
@@ -341,6 +361,7 @@ def solve_batched(
                 forward=forward, block_b=block_b, interpret=interpret,
                 precise_cost=precise_cost, n_reg_levels=n_reg_levels,
                 mults_init=mults_init, mu_init=mu_init, reg_init=reg_init,
+                history=history,
             )  # fmt: skip
     T, nu = problem.horizon, problem.nu
     dtype = x0s.dtype
@@ -561,6 +582,14 @@ def solve_batched(
             _bwhere(ok, K, c.fb.jac),
             _bwhere(ok, c.xs[:, :-1], c.fb.origin),
         )
+        rec = (
+            BatchSolveHistory(
+                mu=mu_new, reg=reg_new, step=step, opt_obj=oo, opt_lag=olag,
+                opt_constr=oc, upd_success=upd_s, upd_failure=upd_f,
+            )  # fmt: skip
+            if history
+            else None
+        )
         return (
             _BatchCarry(
                 xs=_bwhere(ok, xs1, c.xs),
@@ -579,7 +608,7 @@ def solve_batched(
                     c.inner + 1,
                 ),
             ),
-            None,
+            rec,
         )
 
     init = _BatchCarry(
@@ -595,7 +624,7 @@ def solve_batched(
         just_changed=jnp.ones((B,), bool),
         inner=jnp.ones((B,), jnp.int32),  # the pre-loop bwd/fwd already ran
     )
-    final, _ = jax.lax.scan(
+    final, hist = jax.lax.scan(
         iteration,
         init,
         None,
@@ -617,4 +646,5 @@ def solve_batched(
         mu=final.mu,
         mults=mults,
         reg=final.reg,
+        history=hist,
     )

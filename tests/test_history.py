@@ -143,3 +143,33 @@ def test_history_feeds_convergence_trace(tmp_path):
     text = format_history(res.history)
     assert len(text.splitlines()) == n_expected + 1  # header + rows
     assert "mu*=10" in text or "p+=mu*eq" in text
+
+
+def test_batched_history_records_schedule():
+    """solve_batched(history=True) stacks [I, B] per-iteration state; the
+    recorded schedule must be self-consistent with the returned result."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ddp_tpu.solver.batched import solve_batched
+
+    problem = make_problem(dtype=jnp.float64)
+    params = SolverParams(max_iterations=5, threshold=1e-9, mu=1e5, inner_iters_max=1)
+    x0s = jnp.stack([jnp.asarray([0.1 * i, 0.0]) for i in range(4)])
+    res = jax.jit(lambda x: solve_batched(problem, params, x, history=True))(x0s)
+    h = res.history
+    assert h is not None
+    I, B = params.max_iterations, 4
+    assert h.mu.shape == (I, B) and h.opt_constr.shape == (I, B)
+    # final carried state matches the last recorded row
+    np.testing.assert_array_equal(np.asarray(h.mu[-1]), np.asarray(res.mu))
+    # success/failure updates are mutually exclusive
+    assert not np.any(np.asarray(h.upd_success) & np.asarray(h.upd_failure))
+    # mu only moves by the x10 escalations the history records
+    mus = np.asarray(h.mu)
+    assert np.all(mus[1:] >= mus[:-1] - 1e-12)
+    assert np.isfinite(np.asarray(h.opt_obj)).all()
+    # history off by default
+    res0 = jax.jit(lambda x: solve_batched(problem, params, x))(x0s)
+    assert res0.history is None
