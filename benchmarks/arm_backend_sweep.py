@@ -73,8 +73,9 @@ def main():
     for backend, prec in (
         ("sweep", None),
         ("pallas", None),
+        ("sweep", "high"),
         ("sweep", "highest"),
-        ("pallas", "highest"),
+        ("pallas", "high"),
     ):
         try:
             fn = jax.jit(

@@ -339,10 +339,11 @@ def solve_batched(
     # None → platform default (bf16 MXU passes on TPU) | "high" (bf16x3) |
     # "highest" (bf16x6 ≈ true f32).  On arm-class models the default bf16
     # passes in the DERIVATIVE/ROLLOUT stages open a 10-12% infeasibility
-    # tail at 8 iterations ("highest" restores the f64-oracle feasibility
-    # exactly, +22% runtime — docs/DESIGN.md "bf16 matmul passes and the
-    # arm feasibility tail").  The Riccati sweeps already pin HIGHEST
-    # internally; this knob widens the envelope to every stage.
+    # tail at 8 iterations; "high" restores the f64-oracle feasibility
+    # exactly at +14% runtime ("highest" same result, +22%) — docs/DESIGN.md
+    # "bf16 matmul passes and the arm feasibility tail".  The Riccati
+    # sweeps already pin HIGHEST internally; this knob widens the envelope
+    # to every stage.
 ) -> BatchSolveResult:
     """Fixed-budget batched AL-DDP.  Runs exactly params.max_iterations outer
     iterations for every sample (converged samples no-op via the line-search
