@@ -35,6 +35,14 @@ INNER_K = 1
 # cross-iteration reg escalation, same as the reference's bump-and-retry
 # (ddp_bwd.ipp:105-132) amortized across iterations.
 N_REG_LEVELS = 1
+# Forward stage tuning (round-3, results.jsonl pendulum_forward_sweep):
+# the line-search ladder never accepts past 1/8 on this workload once the
+# gains are accurate — 4 candidates are bit-identical to 8 on CPU and give
+# the same p99 = 1.38e-4 on TPU; unroll=4 on the rollout scan + outer
+# iteration scan cuts per-step dispatch overhead.  Measured (solo, 20-rep
+# pipelined): (nls=8,u=1) 995k → (nls=4,u=4) 1,196k solves/s, +20%.
+N_LINESEARCH = 4
+UNROLL = 4
 TARGET = 10_000.0  # solves/s/chip (BASELINE.json)
 
 
@@ -201,14 +209,19 @@ def main() -> None:
     try:
         fn = jax.jit(
             lambda x: solve_batched(
-                problem, params, x, backward="pallas", n_reg_levels=N_REG_LEVELS
-            )
+                problem, params, x, backward="pallas", n_reg_levels=N_REG_LEVELS,
+                n_linesearch=N_LINESEARCH, unroll=UNROLL,
+            )  # fmt: skip
         )
         res = fn(x0s)
         jax.block_until_ready(res.us)
     except Exception as exc:  # noqa: BLE001 — driver needs a number either way
         backend, fallback_error = "sweep", f"{type(exc).__name__}: {exc}"[:200]
-        fn = jax.jit(lambda x: solve_batched(problem, params, x))
+        fn = jax.jit(
+            lambda x: solve_batched(
+                problem, params, x, n_linesearch=N_LINESEARCH, unroll=UNROLL
+            )
+        )
         res = fn(x0s)
         jax.block_until_ready(res.us)
 
