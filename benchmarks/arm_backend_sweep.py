@@ -70,18 +70,23 @@ def main():
     # stages); "highest" restores the f64-oracle feasibility — VERDICT r3
     # item 2, docs/DESIGN.md "bf16 matmul passes and the arm feasibility
     # tail".
-    for backend, prec in (
-        ("sweep", None),
-        ("pallas", None),
-        ("sweep", "high"),
-        ("sweep", "highest"),
-        ("pallas", "high"),
+    for backend, prec, nls in (
+        ("sweep", None, 8),
+        ("pallas", None, 8),
+        ("sweep", "high", 8),
+        ("sweep", "highest", 8),
+        ("pallas", "high", 8),
+        # production recommendation: accurate passes + halved ladder (the
+        # rollout evaluates RNEA per candidate at arm dims, so unlike the
+        # pendulum the cut removes real FLOPs from the dominant stage)
+        ("pallas", "high", 4),
     ):
         try:
             fn = jax.jit(
-                lambda x, b=backend, p=prec: solve_batched(
-                    problem, params, x, backward=b, matmul_precision=p
-                )
+                lambda x, b=backend, p=prec, n=nls: solve_batched(
+                    problem, params, x, backward=b, matmul_precision=p,
+                    n_linesearch=n,
+                )  # fmt: skip
             )
             r = fn(x0s)
             jax.block_until_ready(r.us)
@@ -98,6 +103,7 @@ def main():
                 "arm_backend_sweep",
                 backend=backend,
                 matmul_precision=prec or "default",
+                n_linesearch=nls,
                 dims="n=12,m=6,e=6",
                 B=B,
                 H=H,
@@ -112,6 +118,7 @@ def main():
                 "arm_backend_sweep",
                 backend=backend,
                 matmul_precision=prec or "default",
+                n_linesearch=nls,
                 B=B,
                 H=H,
                 error=f"{type(e).__name__}: {e}"[:300],
