@@ -96,6 +96,27 @@ def main():
         f"{dt_sust * 1e3:.2f} ms/replan sustained ({B / dt_sust:.0f}/s), "
         f"mean |eq| = {float(mc):.2e}"
     )
+    # mirror into results.jsonl (repo rule: every quoted number has a row)
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks")
+        )
+        from _common import record
+
+        record(
+            "fleet_replan",
+            B=B,
+            n_devices=n_dev,
+            H=H,
+            iters=6,
+            backend="pallas",
+            warm_mults=True,
+            ms_blocking=round(dt_block * 1e3, 2),
+            ms_sustained=round(dt_sust * 1e3, 2),
+            mean_constr=f"{float(mc):.2e}",
+        )
+    except Exception as e:  # pragma: no cover — recording must not kill the demo
+        print(f"(results.jsonl recording skipped: {e})")
 
 
 if __name__ == "__main__":
