@@ -70,22 +70,37 @@ def main():
     # stages); "highest" restores the f64-oracle feasibility — VERDICT r3
     # item 2, docs/DESIGN.md "bf16 matmul passes and the arm feasibility
     # tail".
-    for backend, prec, nls in (
-        ("sweep", None, 8),
-        ("pallas", None, 8),
-        ("sweep", "high", 8),
-        ("sweep", "highest", 8),
-        ("pallas", "high", 8),
-        # production recommendation: accurate passes + halved ladder (the
-        # rollout evaluates RNEA per candidate at arm dims, so unlike the
-        # pendulum the cut removes real FLOPs from the dominant stage)
-        ("pallas", "high", 4),
+    import sys
+
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+
+    for backend, prec, nls, fwd in (
+        ("sweep", None, 8, "sweep"),
+        ("pallas", None, 8, "sweep"),
+        ("sweep", "high", 8, "sweep"),
+        ("sweep", "highest", 8, "sweep"),
+        ("pallas", "high", 8, "sweep"),
+        # round-3 production recommendation: accurate passes + halved ladder
+        # (the rollout evaluates RNEA per candidate at arm dims, so unlike
+        # the pendulum the cut removes real FLOPs from the dominant stage)
+        ("pallas", "high", 4, "sweep"),
+        # early-exit ladder: rolls out candidates largest-first and stops at
+        # the first batchwide accept — expected ~1 rollout/iter vs always
+        # n_linesearch; same accepted step (bit-identical on CPU f64,
+        # tests/test_batched_solver.py::test_forward_seq_matches_sweep_bitwise)
+        ("pallas", "high", 8, "seq"),
+        ("pallas", "high", 4, "seq"),
     ):
+        tag = f"{backend}-{prec or 'default'}-{nls}-{fwd}"
+        if only is not None and not any(o in tag for o in only):
+            continue
         try:
             fn = jax.jit(
-                lambda x, b=backend, p=prec, n=nls: solve_batched(
+                lambda x, b=backend, p=prec, n=nls, f=fwd: solve_batched(
                     problem, params, x, backward=b, matmul_precision=p,
-                    n_linesearch=n,
+                    n_linesearch=n, forward=f,
                 )  # fmt: skip
             )
             r = fn(x0s)
@@ -104,6 +119,7 @@ def main():
                 backend=backend,
                 matmul_precision=prec or "default",
                 n_linesearch=nls,
+                forward=fwd,
                 dims="n=12,m=6,e=6",
                 B=B,
                 H=H,
@@ -119,6 +135,7 @@ def main():
                 backend=backend,
                 matmul_precision=prec or "default",
                 n_linesearch=nls,
+                forward=fwd,
                 B=B,
                 H=H,
                 error=f"{type(e).__name__}: {e}"[:300],

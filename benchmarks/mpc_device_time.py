@@ -82,7 +82,13 @@ def main():
     params = SolverParams(
         max_iterations=ITERS, threshold=1e-5, mu=1e4, inner_iters_max=1
     )
-    step = make_mpc_step(problem, params)
+    import sys
+
+    # --forward seq: early-exit line-search ladder — the warm-started replan
+    # accepts step 1 after the first solve, so the ladder does ~1 RNEA
+    # rollout instead of n_linesearch (docs/DESIGN.md round-3 forward note)
+    fwd = "seq" if "--forward=seq" in sys.argv else "sweep"
+    step = make_mpc_step(problem, params, forward=fwd)
     x0 = base.state_pack(q0, jnp.zeros(arm.nv, dtype))
     carry = init_carry(problem, dtype)
 
@@ -106,6 +112,7 @@ def main():
     record(
         "ur5_mpc_replan_device_time",
         module=name,
+        forward=fwd,
         n=len(durs),
         H=H,
         iters=ITERS,

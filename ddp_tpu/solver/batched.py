@@ -282,6 +282,66 @@ def _linesearch_sweep(
     return xs_new, us_new, step_used
 
 
+def _linesearch_seq(
+    problem, xs, us, k, K, mults, mu, n_candidates, unroll=1, precise=False
+):
+    """Sequential early-exit line search: walk the step ladder 1, ½, ¼, …
+    largest-first and STOP at the first accepted candidate.
+
+    Picks the identical candidate to `_linesearch_sweep` (first accepted =
+    largest accepted), but evaluates rollouts lazily: near convergence the
+    full step is accepted almost always, so the expected rollout count is
+    ~1 instead of always n_candidates.  Under the solver's per-sample vmap
+    the `lax.while_loop` runs until EVERY lane has accepted (done lanes are
+    select-masked), so the batch pays max-first-accept-index rollouts per
+    iteration — still ≤ the parallel sweep's fixed n_candidates, and far
+    less whenever the batch's gains are accurate.
+
+    Worth it exactly when one rollout is FLOP-heavy (arm-class dims, where
+    the rollout evaluates RNEA+CRBA per step per candidate: the forward
+    stage is ~50% of device time at LS4).  At pendulum dims the rollout is
+    dispatch-bound and the parallel sweep's single wide launch wins — see
+    docs/DESIGN.md "Round-3 follow-up".  ≙ the reference's serial step
+    halving (ddp_fwd.ipp:34-63), which this reintroduces batched.
+    """
+    dtype = xs.dtype
+    if precise:
+        from ddp_tpu.ops import twofloat as tf
+        from ddp_tpu.solver.precise import al_cost_total_tf
+
+        cost_old_tf = al_cost_total_tf(problem, xs, us, mults, mu)
+
+        def delta_at(step):
+            xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step, unroll=unroll)
+            cost = al_cost_total_tf(problem, xs_c, us_c, mults, mu)
+            return xs_c, us_c, tf.to_float(tf.sub(cost, cost_old_tf))
+    else:
+        cost_old = jnp.sum(al_mod.al_costs(problem, xs, us, mults, mu))
+
+        def delta_at(step):
+            xs_c, us_c = feedback_rollout(problem, xs, us, k, K, step, unroll=unroll)
+            cost = jnp.sum(al_mod.al_costs(problem, xs_c, us_c, mults, mu))
+            return xs_c, us_c, cost - cost_old
+
+    def cond(carry):
+        i, _, _, _, done = carry
+        return jnp.logical_and(i < n_candidates, jnp.logical_not(done))
+
+    def body(carry):
+        i, xs_b, us_b, step_b, done = carry
+        step = jnp.asarray(2.0, dtype) ** (-i.astype(dtype))
+        xs_c, us_c, delta = delta_at(step)
+        acc = delta <= 0
+        xs_b = jnp.where(acc, xs_c, xs_b)
+        us_b = jnp.where(acc, us_c, us_b)
+        step_b = jnp.where(acc, step, step_b)
+        return i + 1, xs_b, us_b, step_b, acc
+
+    init = (jnp.zeros((), jnp.int32), xs, us, jnp.zeros((), dtype), jnp.zeros((), bool))
+    _, xs_new, us_new, step_used, _ = jax.lax.while_loop(cond, body, init)
+    return xs_new, us_new, step_used
+
+
 class _BatchCarry(NamedTuple):
     xs: jax.Array
     us: jax.Array
@@ -322,6 +382,10 @@ def solve_batched(
     #   gains on f32 inputs; the on-TPU analog of the reference's MPFR runs
     forward: str = "sweep",
     # "sweep": XLA scan rollout, candidates vmapped (works for any problem)
+    # "seq": early-exit ladder — while_loop over candidates largest-first,
+    #   stops when every lane has accepted; same accepted step as "sweep"
+    #   but ~1 rollout/iter expected. Wins when one rollout is FLOP-heavy
+    #   (arm dims); loses to the wide sweep at dispatch-bound pendulum dims
     # "pallas": fused line-search kernel (kernels/linesearch_flat.py) — one
     #   launch for the whole sweep; flat-lane (closed-form) models only
     block_b: int | None = None,  # pallas batch block (lane) size
@@ -424,15 +488,18 @@ def solve_batched(
                 n_candidates=min(n_linesearch, 7), block_b=block_b,
                 interpret=interpret,
             )  # fmt: skip
-    else:
+    elif forward in ("sweep", "seq"):
         if n_linesearch is None:
             n_linesearch = 8
+        ls_fn = _linesearch_seq if forward == "seq" else _linesearch_sweep
         vls = jax.vmap(
-            lambda xs_, us_, k_, K_, mults_, mu_: _linesearch_sweep(
+            lambda xs_, us_, k_, K_, mults_, mu_: ls_fn(
                 problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch,
                 unroll=unroll, precise=precise_cost,
             )
         )
+    else:
+        raise ValueError(f"unknown forward backend {forward!r}")
     v_oo = jax.vmap(
         lambda d, mv, mj, mu_: al_mod.optimality_obj(problem, d, mv, mj, mu_)
     )

@@ -129,6 +129,9 @@ def make_mpc_step(
     method=Method.PRIMAL_DUAL_AFFINE,
     unroll: int = 4,
     backward: str = "sweep",
+    forward: str = "sweep",
+    n_linesearch: int | None = None,
+    matmul_precision: str | None = None,
     warm_mults: bool = True,
     shift_mults: bool = False,
     mu_carry_max: float | None = None,
@@ -138,7 +141,11 @@ def make_mpc_step(
 
     Uses the static-control-flow batched solver internals on a single
     sample so the compiled program has a deterministic 10 ms-class runtime
-    (no data-dependent loops).
+    (no data-dependent loops).  ``forward="seq"`` relaxes that determinism
+    one notch: the early-exit ladder bounds runtime above by the full-sweep
+    cost but finishes after ~1 rollout when the warm start accepts step 1 —
+    the common case after the first replan — so p50 drops while the worst
+    case stays the budgeted sweep.
 
     ``warm_mults=False`` reverts to controls-only warm starts (the round-2
     behavior); ``mu_carry_max`` caps the carried penalty so a persistently
@@ -159,6 +166,9 @@ def make_mpc_step(
             method=method,
             unroll=unroll,
             backward=backward,
+            forward=forward,
+            n_linesearch=n_linesearch,
+            matmul_precision=matmul_precision,
             mults_init=(
                 jax.tree.map(lambda a: a[None], carry.mults) if warm_mults else None
             ),
@@ -185,6 +195,9 @@ def make_batch_mpc_step(
     method=Method.PRIMAL_DUAL_AFFINE,
     unroll: int = 1,
     backward: str = "sweep",
+    forward: str = "sweep",
+    n_linesearch: int | None = None,
+    matmul_precision: str | None = None,
     warm_mults: bool = True,
     shift_mults: bool = False,
     mu_carry_max: float | None = None,
@@ -209,7 +222,8 @@ def make_batch_mpc_step(
         us_warm, mults, mu, reg = carry
         res = solve_batched(
             problem, params, x, us_init=us_warm, method=method, unroll=unroll,
-            backward=backward,
+            backward=backward, forward=forward, n_linesearch=n_linesearch,
+            matmul_precision=matmul_precision,
             mults_init=mults if warm_mults else None,
             mu_init=jnp.maximum(mu, params.mu) if warm_mults else None,
             reg_init=jnp.maximum(reg, params.reg) if warm_mults else None,

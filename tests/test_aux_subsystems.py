@@ -339,10 +339,11 @@ def test_mpc_multiplier_warm_start_beats_cold():
     )
 
 
-def test_mpc_carry_checkpoint_resume(tmp_path):
+def test_mpc_carry_checkpoint_roundtrip(tmp_path):
     """The full MPCCarry persists through utils/checkpoint.py and resumes
     bit-identically (SURVEY §5: checkpointed warm starts are the genuine
-    addition over the reference)."""
+    addition over the reference).  (The longer resume-loop variant below,
+    test_mpc_carry_checkpoint_resume, previously shadowed this name.)"""
     problem = make_problem(horizon=20)
     params = SolverParams(max_iterations=2, threshold=1e-8, mu=1e4)
     step = make_mpc_step(problem, params)
@@ -421,3 +422,27 @@ def test_mpc_carry_checkpoint_resume(tmp_path):
         x_res = problem.dynamics(0, x_res, o2.u0)
     for a, b in zip(outs_live, outs_resumed):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mpc_step_forward_seq_matches_sweep():
+    """make_mpc_step(forward="seq") replans bit-identically to the parallel
+    sweep (the early-exit ladder picks the same largest accepted step); the
+    win is runtime only — warm-started replans accept step 1 after round 1,
+    so the ladder does ~1 rollout instead of n_linesearch."""
+    problem = make_problem(horizon=20)
+    params = SolverParams(max_iterations=3, threshold=1e-10, mu=1e5, inner_iters_max=1)
+    step_ref = make_mpc_step(problem, params)
+    step_seq = make_mpc_step(problem, params, forward="seq")
+
+    x_a = x_b = jnp.asarray([0.3, 0.0])
+    c_a = c_b = init_carry(problem, dtype=jnp.float64)
+    for _ in range(4):
+        o_a = step_ref(x_a, c_a)
+        o_b = step_seq(x_b, c_b)
+        np.testing.assert_array_equal(np.asarray(o_a.u0), np.asarray(o_b.u0))
+        np.testing.assert_array_equal(
+            np.asarray(o_a.carry.mults.val), np.asarray(o_b.carry.mults.val)
+        )
+        c_a, c_b = o_a.carry, o_b.carry
+        x_a = problem.dynamics(0, x_a, o_a.u0)
+        x_b = problem.dynamics(0, x_b, o_b.u0)

@@ -131,3 +131,34 @@ def test_matmul_precision_knob_plumbs_through():
         lambda x: solve(problem, params, x0s[1], matmul_precision="highest")
     )(x0s)
     assert np.isfinite(np.asarray(rs.us)).all()
+
+
+def test_forward_seq_matches_sweep_bitwise():
+    """forward="seq" (early-exit ladder) must select the identical candidate
+    as the parallel sweep — first accepted = largest accepted — so full f64
+    solves agree bit-for-bit, including samples whose ladders bottom out."""
+    problem = make_problem()
+    params = SolverParams(max_iterations=25, threshold=1e-9, mu=1e8)
+    x0s = jnp.stack([jnp.array([q, 0.0]) for q in (-0.4, 0.0, 0.3, 0.5)])
+
+    ref = jax.jit(lambda x: solve_batched(problem, params, x))(x0s)
+    seq = jax.jit(lambda x: solve_batched(problem, params, x, forward="seq"))(x0s)
+    np.testing.assert_array_equal(np.asarray(seq.us), np.asarray(ref.us))
+    np.testing.assert_array_equal(np.asarray(seq.xs), np.asarray(ref.xs))
+    np.testing.assert_array_equal(
+        np.asarray(seq.opt_constr), np.asarray(ref.opt_constr)
+    )
+
+
+def test_forward_seq_precise_cost_matches_sweep():
+    """The early-exit ladder composes with double-float acceptance sums."""
+    problem = make_problem(dtype=jnp.float32)
+    params = SolverParams(max_iterations=8, threshold=1e-5, mu=1e4, inner_iters_max=1)
+    x0s = jnp.stack([jnp.asarray([0.1 * i, 0.0], jnp.float32) for i in range(4)])
+    ref = jax.jit(
+        lambda x: solve_batched(problem, params, x, precise_cost=True)
+    )(x0s)
+    seq = jax.jit(
+        lambda x: solve_batched(problem, params, x, forward="seq", precise_cost=True)
+    )(x0s)
+    np.testing.assert_array_equal(np.asarray(seq.us), np.asarray(ref.us))
