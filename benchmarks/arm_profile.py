@@ -122,6 +122,23 @@ def main():
     ms_fwd = _time(vls, xs, us, k, K, mults.val, mults.jac, mults.origin, mu)
     record("arm_stage_forward_ls8", B=B, H=H, ms=ms_fwd)
 
+    # the round-3 production forward: sequential early-exit ladder (expected
+    # rollout count ~1 when gains are accurate) at 4 candidates
+    from ddp_tpu.solver.batched import _linesearch_seq
+
+    vseq = jax.jit(
+        jax.vmap(
+            lambda xs_, us_, k_, K_, mv, mj, mo, mu_: _linesearch_seq(
+                problem, xs_, us_, k_, K_,
+                al_mod.AffineMults(mv, mj, mo), mu_, 4,
+            )
+        )
+    )
+    ms_fwd_seq = _time(
+        vseq, xs, us, k, K, mults.val, mults.jac, mults.origin, mu
+    )
+    record("arm_stage_forward_seq4", B=B, H=H, ms=ms_fwd_seq)
+
     # --- stage: aux (update_origin + optimality measures) ---
     def aux(xs_, mv, mj, mo, d, mu_):
         m2 = jax.vmap(
@@ -143,14 +160,15 @@ def main():
     )
     record("arm_stage_aux_origin_opt", B=B, H=H, ms=ms_aux)
 
-    total = 8 * (ms_deriv + min(ms_bwd, ms_bwd_p) + ms_fwd + ms_aux)
+    per_iter = ms_deriv + min(ms_bwd, ms_bwd_p) + min(ms_fwd, ms_fwd_seq) + ms_aux
     record(
         "arm_stage_summary",
         B=B,
         H=H,
         iters=8,
-        deriv_pct=round(100 * ms_deriv / (ms_deriv + min(ms_bwd, ms_bwd_p) + ms_fwd + ms_aux), 1),
-        est_total_ms=round(total, 1),
+        deriv_pct=round(100 * ms_deriv / per_iter, 1),
+        fwd_pct=round(100 * min(ms_fwd, ms_fwd_seq) / per_iter, 1),
+        est_total_ms=round(8 * per_iter, 1),
     )
 
 

@@ -44,6 +44,17 @@ class Pendulum:
         del v  # no damping, matching the reference (pendulum_model.hpp:105-114)
         return -(_G / self.length) * jnp.sin(q) + tau / self.mass
 
+    def fd_derivatives(self, q: jax.Array, v: jax.Array, tau: jax.Array):
+        """(a, ∂a/∂q, ∂a/∂v, ∂a/∂τ) closed-form — the reference's analytic
+        d_dynamics_aba (pendulum_model.hpp:116-130), feeding the analytic
+        Euler-step Jacobian path (ocp/dynamics.py)."""
+        a = self.forward_dynamics(q, v, tau)
+        dtype = a.dtype
+        A = (-(_G / self.length) * jnp.cos(q))[None, :].astype(dtype)
+        Bv = jnp.zeros((1, 1), dtype)
+        Bu = (jnp.ones((1, 1), dtype) / self.mass).astype(dtype)
+        return a, A, Bv, Bu
+
 
 def pendulum(mass: float = 1.0, length: float = 1.0, dtype=jnp.float32) -> Pendulum:
     return Pendulum(mass=jnp.asarray(mass, dtype), length=jnp.asarray(length, dtype))

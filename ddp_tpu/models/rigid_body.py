@@ -639,6 +639,42 @@ class RobotModel:
     # parity alias with the reference model concept
     dynamics_aba = forward_dynamics
 
+    def fd_derivatives(self, q: jax.Array, v: jax.Array, tau: jax.Array):
+        """(a, ∂a/∂q, ∂a/∂v, ∂a/∂τ) from ONE kinematics pass + ONE Cholesky.
+
+        The assembled-Jacobian form of the implicit rule ``forward_dynamics``
+        uses per tangent: differentiate RNEA(q, v, a) = τ at the solution,
+
+            [∂a/∂q | ∂a/∂v] = −M⁻¹ · ∂RNEA/∂(q, v),   ∂a/∂τ = M⁻¹,
+
+        so the full (nq+nv+nv)-column Jacobian costs an (nq+nv)-column RNEA
+        pushforward plus triangular solves — the τ columns are free (no
+        chain propagation), unlike a generic jacfwd over the solve, which
+        pushes every basis column through the dynamics.  ≙ Pinocchio's
+        computeABADerivatives (pinocchio_model.ipp:359-400) returning the
+        three Jacobian blocks in one call.  The ∂/∂q block is a COORDINATE
+        derivative: callers on quaternion-manifold models must chain it
+        through the chart (the analytic Euler path gates on vector-space
+        configurations instead — ocp/dynamics.py)."""
+        nq, nv = self.nq, self.nv
+        wq = self._world_quantities(q)
+        _, Jw, Iw, _, _ = wq
+        M = jnp.einsum("bsn,bst,btm->nm", Jw, Iw, Jw)
+        solve_dtype = jnp.promote_types(self.dtype, jnp.float32)
+        chol = jnp.linalg.cholesky(M.astype(solve_dtype))
+        bias = self._dynamics_core(q, v, jnp.zeros((nv,), self.dtype), wq=wq)
+        a = jax.scipy.linalg.cho_solve(
+            (chol, True), (tau - bias).astype(solve_dtype)
+        ).astype(self.dtype)
+        dR = jax.jacfwd(lambda qv: self.rnea(qv[:nq], qv[nq:], a))(
+            jnp.concatenate([q, v])
+        )  # [nv, nq+nv]
+        rhs = jnp.concatenate(
+            [-dR.astype(solve_dtype), jnp.eye(nv, dtype=solve_dtype)], axis=1
+        )
+        sol = jax.scipy.linalg.cho_solve((chol, True), rhs).astype(self.dtype)
+        return a, sol[:, :nq], sol[:, nq : nq + nv], sol[:, nq + nv :]
+
     def energy(self, q: jax.Array, v: jax.Array) -> jax.Array:
         """Total mechanical energy (test oracle: conserved when unforced)."""
         kinetic = 0.5 * v @ self.mass_matrix(q) @ v

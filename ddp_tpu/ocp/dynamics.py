@@ -20,6 +20,19 @@ import jax.numpy as jnp
 from ddp_tpu.models.base import state_pack, state_split
 
 
+def _vector_space_config(model) -> bool:
+    """True iff the configuration space is a vector space (integrate is
+    addition, difference is subtraction, tangent == coordinates).
+
+    RobotModel: every joint revolute/prismatic.  Closed-form models
+    (Pendulum): nq == nv with additive integrate — pinned by
+    tests/test_derivatives.py parity against the generic chart path."""
+    jt = getattr(model, "joint_types", None)
+    if jt is not None:
+        return all(t in ("revolute", "prismatic") for t in jt)
+    return getattr(model, "nq", -1) == getattr(model, "nv", -2)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EulerDynamics:
@@ -34,6 +47,43 @@ class EulerDynamics:
         q_next = model.integrate(q, self.dt * v)
         v_next = v + self.dt * a
         return state_pack(q_next, v_next)
+
+    @property
+    def analytic_jacobians_ok(self) -> bool:
+        """Whether ``jacobians`` is available and exact for this model:
+        requires the model's assembled ∂FD blocks (``fd_derivatives``) and a
+        vector-space configuration (so the coordinate Jacobian IS the
+        local-chart Jacobian — no ⊕/⊖ chain corrections needed)."""
+        return hasattr(self.model, "fd_derivatives") and _vector_space_config(
+            self.model
+        )
+
+    def jacobians(self, t, x: jax.Array, u: jax.Array):
+        """(x_next, fx, fu) assembled from the Euler-step structure.
+
+        ≙ dynamics_t::first_order_deriv (problem.hpp:463-503): the reference
+        chains d_integrate with the model's analytic ABA derivatives instead
+        of differencing the whole step; this is the same chain rule on
+
+            q' = q + dt·v,  v' = v + dt·a(q, v, u)
+
+        ⇒  fx = [[I, dt·I], [dt·∂a/∂q, I + dt·∂a/∂v]],  fu = [[0], [dt·∂a/∂u]].
+
+        Only valid when ``analytic_jacobians_ok`` (vector-space
+        configuration); the derivative engine (ocp/problem.py) falls back to
+        the generic shared-primal JVP pass otherwise."""
+        del t
+        model = self.model
+        dt = self.dt
+        q, v = state_split(model, x)
+        a, A, Bv, Bu = model.fd_derivatives(q, v, u)
+        nv, nu = A.shape[0], u.shape[-1]
+        dtype = x.dtype
+        I = jnp.eye(nv, dtype=dtype)
+        fx = jnp.block([[I, dt * I], [dt * A, I + dt * Bv]])
+        fu = jnp.concatenate([jnp.zeros((nv, nu), dtype), dt * Bu], axis=0)
+        x_next = state_pack(model.integrate(q, dt * v), v + dt * a)
+        return x_next, fx, fu
 
 
 @jax.tree_util.register_dataclass

@@ -215,8 +215,32 @@ class Problem:
                 fzz = jnp.zeros((ndx, nz, nz), dtype=dtype)
             return lz, lzz, fz, fzz
 
+        def per_t_analytic(t, x, u):
+            # assembled Euler-step Jacobian (dynamics.jacobians): the model's
+            # ∂FD blocks from one kinematics pass + one Cholesky — no JVP
+            # columns pushed through the dynamics at all.  Valid because the
+            # gate (analytic_jacobians_ok) guarantees a vector-space
+            # configuration, where the ⊕/⊖ chart corrections are identity.
+            def c(z):
+                dx, du = z[:ndx], z[ndx:]
+                return self.cost.stage(
+                    t, state_integrate(model, x, dx), u + du
+                )
+
+            lz_ = jax.jacfwd(c)(z0)
+            lzz_ = jax.jacfwd(jax.jacfwd(c))(z0)
+            _, fx, fu = self.dynamics.jacobians(t, x, u)
+            fz_ = jnp.concatenate([fx, fu], axis=1)
+            fzz_ = jnp.zeros((ndx, nz, nz), dtype=dtype)
+            return lz_, lzz_, fz_, fzz_
+
+        use_analytic = not self.second_order and getattr(
+            self.dynamics, "analytic_jacobians_ok", False
+        )
         ts = jnp.arange(T)
-        lz, lzz, fz, fzz = jax.vmap(per_t)(ts, xs[:-1], us)
+        lz, lzz, fz, fzz = jax.vmap(
+            per_t_analytic if use_analytic else per_t
+        )(ts, xs[:-1], us)
 
         # ---- constraint: statically-active timesteps only ----
         def eq_t(t, x, u):

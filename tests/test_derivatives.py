@@ -124,3 +124,98 @@ def test_advance_time_composition_semantics(problem):
     expected = model.difference(target, x2[:1])
     got = problem.eq(t, x, u)
     np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def _gn_problem(model, con_target, dtype=jnp.float64, horizon=8):
+    dyn = dynamics.euler(model, DT)
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=model, target=con_target, active_ts=(horizon,)
+        ),
+        dyn,
+        times=2,
+    )
+    return Problem(
+        dynamics=dyn,
+        cost=costs.quad_control(1.0, dtype=dtype),
+        constraint=con,
+        horizon=horizon,
+        second_order=False,
+    )
+
+
+def test_analytic_euler_jacobians_match_generic_pendulum():
+    """The assembled Euler-step Jacobian path (dynamics.jacobians +
+    model.fd_derivatives) must equal the generic shared-primal JVP chart
+    path bit-for-roundoff (vector-space config ⇒ same chain rule)."""
+    model = pendulum(1.3, 0.7, dtype=jnp.float64)
+    prob = _gn_problem(model, jnp.asarray([1.5], jnp.float64))
+    assert prob.dynamics.analytic_jacobians_ok
+
+    xs, us = random_traj_for(prob, jax.random.key(0))
+    fast = prob.derivatives(xs, us)
+
+    t0 = jnp.asarray(0)
+    x, u = xs[0], us[0]
+    _, fx, fu = prob.dynamics.jacobians(t0, x, u)
+    fx_ref = jax.jacfwd(lambda dx: state_difference(
+        model, prob.dynamics(t0, x, u),
+        prob.dynamics(t0, state_integrate(model, x, dx), u)))(jnp.zeros(prob.ndx))
+    fu_ref = jax.jacfwd(lambda du: state_difference(
+        model, prob.dynamics(t0, x, u),
+        prob.dynamics(t0, x, u + du)))(jnp.zeros(prob.nu))
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fx_ref), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fast.fx[0]), np.asarray(fx_ref), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(fast.fu[0]), np.asarray(fu_ref), atol=1e-11)
+
+
+def random_traj_for(prob, key):
+    k1, k2 = jax.random.split(key)
+    x0 = 0.3 * jax.random.normal(k1, (prob.nx,), dtype=jnp.float64)
+    us = 0.2 * jax.random.normal(k2, (prob.horizon, prob.nu), dtype=jnp.float64)
+    return prob.rollout(x0, us), us
+
+
+def test_analytic_euler_jacobians_match_generic_arm():
+    """UR5 (revolute-only): the analytic fd_derivatives assembly equals
+    jacfwd over the whole Euler step at every timestep of a random
+    trajectory (f64 oracle, ≙ the reference's chain-rule first_order_deriv
+    vs its debug FD check, problem.hpp:999-1139)."""
+    from ddp_tpu.models.robots import ur5
+
+    arm = ur5(dtype=jnp.float64)
+    q_t = arm.integrate(arm.neutral_configuration(),
+                        jnp.asarray(0.05 * np.arange(1.0, 7.0)))
+    prob = _gn_problem(arm, q_t, horizon=4)
+    assert prob.dynamics.analytic_jacobians_ok
+
+    xs, us = random_traj_for(prob, jax.random.key(1))
+    fast = prob.derivatives(xs, us)
+
+    def step_jac(t, x, u):
+        fx = jax.jacfwd(lambda dx: state_difference(
+            arm, prob.dynamics(t, x, u),
+            prob.dynamics(t, state_integrate(arm, x, dx), u)))(jnp.zeros(prob.ndx))
+        fu = jax.jacfwd(lambda du: prob.dynamics(t, x, u + du))(jnp.zeros(prob.nu))
+        # output chart at a vector-space config is identity
+        return fx, fu
+
+    for t in range(prob.horizon):
+        fx_ref, fu_ref = step_jac(t, xs[t], us[t])
+        np.testing.assert_allclose(
+            np.asarray(fast.fx[t]), np.asarray(fx_ref), atol=1e-9,
+            err_msg=f"fx mismatch at t={t}")
+        np.testing.assert_allclose(
+            np.asarray(fast.fu[t]), np.asarray(fu_ref), atol=1e-9,
+            err_msg=f"fu mismatch at t={t}")
+
+
+def test_quaternion_models_keep_generic_path():
+    """The analytic gate must stay closed for quaternion-manifold models
+    (coordinate ∂/∂q ≠ tangent ∂/∂q there)."""
+    from ddp_tpu.models.robots import quadrotor
+
+    quad = quadrotor(dtype=jnp.float64)
+    dyn = dynamics.euler(quad, DT)
+    assert not dyn.analytic_jacobians_ok
