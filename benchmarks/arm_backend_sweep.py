@@ -92,15 +92,22 @@ def main():
         # tests/test_batched_solver.py::test_forward_seq_matches_sweep_bitwise)
         ("pallas", "high", 8, "seq"),
         ("pallas", "high", 4, "seq"),
+        # round-3: batch-on-lanes fd-derivatives kernel replaces the
+        # jacfwd-over-RNEA sweep (kernels/fd_derivs.py) — the stage that
+        # dominated the per-iteration profile (arm_stage_derivatives rows)
+        ("pallas", "high", 4, "seq+fd"),
     ):
         tag = f"{backend}-{prec or 'default'}-{nls}-{fwd}"
         if only is not None and not any(o in tag for o in only):
             continue
         try:
+            fwd_name, deriv = (
+                (fwd[: -len("+fd")], "pallas") if fwd.endswith("+fd") else (fwd, "jvp")
+            )
             fn = jax.jit(
-                lambda x, b=backend, p=prec, n=nls, f=fwd: solve_batched(
+                lambda x, b=backend, p=prec, n=nls, f=fwd_name, d=deriv: solve_batched(
                     problem, params, x, backward=b, matmul_precision=p,
-                    n_linesearch=n, forward=f,
+                    n_linesearch=n, forward=f, deriv=d,
                 )  # fmt: skip
             )
             r = fn(x0s)

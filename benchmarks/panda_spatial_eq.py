@@ -81,6 +81,7 @@ def main():
             matmul_precision="high",
             n_linesearch=4,
             forward="seq",
+            deriv="pallas",
         )
     )
     r = fn(x0s)

@@ -153,7 +153,7 @@ class Problem:
         mask = self.eq_mask()
         return tuple(int(t) for t in np.nonzero(mask.any(axis=1))[0])
 
-    def derivatives(self, xs, us) -> Derivs:
+    def derivatives(self, xs, us, fx_fu=None) -> Derivs:
         """All first/second-order derivatives along (xs, us).
 
         ≙ problem_t::compute_derivatives (problem.hpp:956-1141), minus the
@@ -238,9 +238,33 @@ class Problem:
             self.dynamics, "analytic_jacobians_ok", False
         )
         ts = jnp.arange(T)
-        lz, lzz, fz, fzz = jax.vmap(
-            per_t_analytic if use_analytic else per_t
-        )(ts, xs[:-1], us)
+        if fx_fu is not None and self.second_order:
+            raise ValueError("precomputed fx_fu is first-order (GN) only")
+        if fx_fu is not None:
+            # dynamics Jacobians precomputed by the caller (e.g. the batched
+            # Pallas fd-derivatives kernel, kernels/fd_derivs.py, which
+            # fuses the whole kinematic chain for all B·T samples in VMEM);
+            # only cost derivatives remain per timestep
+            fxg, fug = fx_fu
+
+            def per_t_given(t, x, u, fx_, fu_):
+                def c(z):
+                    dx, du = z[:ndx], z[ndx:]
+                    return self.cost.stage(
+                        t, state_integrate(model, x, dx), u + du
+                    )
+
+                lz_ = jax.jacfwd(c)(z0)
+                lzz_ = jax.jacfwd(jax.jacfwd(c))(z0)
+                fz_ = jnp.concatenate([fx_, fu_], axis=1)
+                fzz_ = jnp.zeros((ndx, nz, nz), dtype=dtype)
+                return lz_, lzz_, fz_, fzz_
+
+            lz, lzz, fz, fzz = jax.vmap(per_t_given)(ts, xs[:-1], us, fxg, fug)
+        else:
+            lz, lzz, fz, fzz = jax.vmap(
+                per_t_analytic if use_analytic else per_t
+            )(ts, xs[:-1], us)
 
         # ---- constraint: statically-active timesteps only ----
         def eq_t(t, x, u):

@@ -388,6 +388,12 @@ def solve_batched(
     #   (arm dims); loses to the wide sweep at dispatch-bound pendulum dims
     # "pallas": fused line-search kernel (kernels/linesearch_flat.py) — one
     #   launch for the whole sweep; flat-lane (closed-form) models only
+    deriv: str = "jvp",
+    # "jvp": per-sample shared-primal JVP / analytic-Euler pass (default)
+    # "pallas": batch-on-lanes fd-derivatives kernel (kernels/fd_derivs.py)
+    #   — the whole B·T kinematic-chain Jacobian sweep fused in VMEM.
+    #   Requires Euler dynamics on a revolute/prismatic model, first-order
+    #   (GN) problems, and B·T a multiple of the lane block
     block_b: int | None = None,  # pallas batch block (lane) size
     interpret: bool = False,  # pallas interpret mode (CPU tests)
     precise_cost: bool = False,  # double-float line-search acceptance sums
@@ -423,10 +429,10 @@ def solve_batched(
             return solve_batched(
                 problem, params, x0s, us_init=us_init, method=method,
                 n_linesearch=n_linesearch, unroll=unroll, backward=backward,
-                forward=forward, block_b=block_b, interpret=interpret,
-                precise_cost=precise_cost, n_reg_levels=n_reg_levels,
-                mults_init=mults_init, mu_init=mu_init, reg_init=reg_init,
-                history=history,
+                forward=forward, deriv=deriv, block_b=block_b,
+                interpret=interpret, precise_cost=precise_cost,
+                n_reg_levels=n_reg_levels, mults_init=mults_init,
+                mu_init=mu_init, reg_init=reg_init, history=history,
             )  # fmt: skip
     T, nu = problem.horizon, problem.nu
     dtype = x0s.dtype
@@ -459,7 +465,52 @@ def solve_batched(
 
     # vmapped per-sample helpers
     vrollout = jax.vmap(problem.rollout)
-    vderivs = jax.vmap(problem.derivatives)
+    if deriv == "pallas":
+        from ddp_tpu.ocp.dynamics import EulerDynamics
+        from ddp_tpu.kernels.fd_derivs import fd_derivs_pallas
+
+        if not (
+            isinstance(problem.dynamics, EulerDynamics)
+            and problem.dynamics.analytic_jacobians_ok
+            and hasattr(model, "joint_types")
+            and not problem.second_order
+        ):
+            raise ValueError(
+                "deriv='pallas' needs first-order Euler dynamics on a "
+                "revolute/prismatic RobotModel"
+            )
+        nq, nv_, ndx = model.nq, model.nv, problem.ndx
+        fd_block = 512 if (B * T) % 512 == 0 else 128
+        if (B * T) % fd_block:
+            raise ValueError(
+                f"deriv='pallas' needs B*T={B * T} divisible by {fd_block}"
+            )
+        dt_ = problem.dynamics.dt
+
+        def vderivs(xs_, us_):
+            q = xs_[:, :-1, :nq].reshape(B * T, nq)
+            v = xs_[:, :-1, nq:].reshape(B * T, nv_)
+            uf = us_.reshape(B * T, nu)
+            _, A, Bv, Mi = fd_derivs_pallas(
+                model, q, v, uf, block_b=fd_block, interpret=interpret
+            )
+            I = jnp.broadcast_to(
+                jnp.eye(nv_, dtype=dtype), (B * T, nv_, nv_)
+            )
+            top = jnp.concatenate([I, dt_ * I], axis=2)
+            bot = jnp.concatenate([dt_ * A, I + dt_ * Bv], axis=2)
+            fx = jnp.concatenate([top, bot], axis=1).reshape(B, T, ndx, ndx)
+            fu = jnp.concatenate(
+                [jnp.zeros((B * T, nv_, nu), dtype), dt_ * Mi], axis=1
+            ).reshape(B, T, ndx, nu)
+            return jax.vmap(
+                lambda x_, u_, fx_, fu_: problem.derivatives(
+                    x_, u_, fx_fu=(fx_, fu_)
+                )
+            )(xs_, us_, fx, fu)
+
+    else:
+        vderivs = jax.vmap(problem.derivatives)
     vinit_mults = jax.vmap(lambda xs_: al_mod.init_multipliers(problem, xs_))
     vupdate_origin = jax.vmap(lambda m_, xs_: al_mod.update_origin(model, m_, xs_))
     if forward == "pallas":
