@@ -237,6 +237,13 @@ struct UrdfData {
   std::vector<std::string> joint_names, joint_types, joint_parents, joint_children;
   std::vector<double> joint_origin;  // per joint: xyz rpy (6)
   std::vector<double> joint_axis;    // per joint: xyz (3)
+  // per joint (9): has_limit, has_lower, lower, has_upper, upper,
+  // has_velocity, velocity, has_effort, effort — presence flags mirror the
+  // Python backend's dict-of-present-attributes exactly
+  std::vector<double> joint_limit;
+  // per joint (3): has_mimic, multiplier (default 1), offset (default 0)
+  std::vector<double> joint_mimic;
+  std::vector<std::string> joint_mimic_joint;  // master joint name ("" if none)
   std::vector<std::string> link_names;
   std::vector<double> link_inertial;  // per link: mass, com xyz, com rpy, ixx ixy ixz iyy iyz izz (13)
   std::string error;
@@ -273,6 +280,21 @@ int64_t ddp_urdf_parse(const char* xml) {
       data->joint_origin.insert(data->joint_origin.end(), rpy.begin(), rpy.end());
       auto ax = parse_floats(attr(find_child(c, "axis"), "xyz", "0 0 1"), 3);
       data->joint_axis.insert(data->joint_axis.end(), ax.begin(), ax.end());
+      // <limit lower= upper= velocity= effort=> (pinocchio_model.ipp:98-113
+      // ingests these through urdfdom; parity with _records_from_etree)
+      const XmlNode* lim = find_child(c, "limit");
+      data->joint_limit.push_back(lim != nullptr ? 1.0 : 0.0);
+      for (const char* key : {"lower", "upper", "velocity", "effort"}) {
+        bool has = lim != nullptr && lim->attrs.count(key) != 0;
+        data->joint_limit.push_back(has ? 1.0 : 0.0);
+        data->joint_limit.push_back(has ? parse_floats(lim->attrs.at(key), 1)[0] : 0.0);
+      }
+      // <mimic joint= multiplier= offset=>
+      const XmlNode* mim = find_child(c, "mimic");
+      data->joint_mimic.push_back(mim != nullptr ? 1.0 : 0.0);
+      data->joint_mimic.push_back(parse_floats(attr(mim, "multiplier", "1"), 1)[0]);
+      data->joint_mimic.push_back(parse_floats(attr(mim, "offset", "0"), 1)[0]);
+      data->joint_mimic_joint.push_back(attr(mim, "joint", ""));
     } else if (c.tag == "link") {
       data->link_names.push_back(attr(&c, "name", ""));
       const XmlNode* inertial = find_child(c, "inertial");
@@ -324,6 +346,16 @@ void ddp_urdf_joint_numeric(int64_t h, double* origin_out /*nj*6*/, double* axis
   std::memcpy(axis_out, d.joint_axis.data(), d.joint_axis.size() * sizeof(double));
 }
 
+// per-joint limit (nj*9) + mimic (nj*3) blocks; see UrdfData layout comment
+void ddp_urdf_joint_limit_mimic(int64_t h, double* limit_out /*nj*9*/, double* mimic_out /*nj*3*/) {
+  std::lock_guard<std::mutex> lock(urdf_mu);
+  auto it = urdf_handles.find(h);
+  if (it == urdf_handles.end()) return;
+  const auto& d = *it->second;
+  std::memcpy(limit_out, d.joint_limit.data(), d.joint_limit.size() * sizeof(double));
+  std::memcpy(mimic_out, d.joint_mimic.data(), d.joint_mimic.size() * sizeof(double));
+}
+
 void ddp_urdf_link_inertial(int64_t h, double* out /*nl*13*/) {
   std::lock_guard<std::mutex> lock(urdf_mu);
   auto it = urdf_handles.find(h);
@@ -343,6 +375,7 @@ const char* ddp_urdf_string(int64_t h, const char* table, int64_t i) {
   else if (std::strcmp(table, "joint_type") == 0) t = &d.joint_types;
   else if (std::strcmp(table, "joint_parent") == 0) t = &d.joint_parents;
   else if (std::strcmp(table, "joint_child") == 0) t = &d.joint_children;
+  else if (std::strcmp(table, "joint_mimic_joint") == 0) t = &d.joint_mimic_joint;
   else if (std::strcmp(table, "link_name") == 0) t = &d.link_names;
   else if (std::strcmp(table, "robot_name") == 0) return d.robot_name.c_str();
   if (t == nullptr || i < 0 || i >= static_cast<int64_t>(t->size())) return "";

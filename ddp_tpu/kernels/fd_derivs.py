@@ -484,7 +484,23 @@ def _fd_call(qvu_t, *, spec_key, nv, block_b, interpret):
     )(qvu_t)
 
 
-_SPEC_CACHE: dict = {}
+# Bounded LRU keyed on the model-constant byte pattern.  Each distinct key
+# also pins a jit specialization of _fd_call, so eviction clears that cache
+# too — a long-lived process sweeping model parameters recompiles instead of
+# leaking memory/compilations (ADVICE r3).
+_SPEC_CACHE_MAX = 32
+_SPEC_CACHE: dict = {}  # insertion-ordered; move-to-end on hit
+
+
+def _spec_cache_put(key, spec):
+    if key in _SPEC_CACHE:
+        _SPEC_CACHE[key] = _SPEC_CACHE.pop(key)  # refresh LRU order
+        return
+    if len(_SPEC_CACHE) >= _SPEC_CACHE_MAX:
+        oldest = next(iter(_SPEC_CACHE))
+        del _SPEC_CACHE[oldest]
+        _fd_call.clear_cache()  # drop the evicted key's jit specialization
+    _SPEC_CACHE[key] = spec
 
 
 def fd_derivs_pallas(model, q, v, tau, *, block_b=512, interpret=False):
@@ -504,7 +520,7 @@ def fd_derivs_pallas(model, q, v, tau, *, block_b=512, interpret=False):
         spec["gravity"].tobytes(),
         spec["damping"].tobytes(),
     )
-    _SPEC_CACHE[key] = spec
+    _spec_cache_put(key, spec)
     nv = len(spec["joint_types"])
     N = q.shape[0]
     if N % block_b:

@@ -25,6 +25,10 @@ class Pendulum:
     nu: int = dataclasses.field(default=1, metadata={"static": True})
 
     name: str = dataclasses.field(default="pendulum", metadata={"static": True})
+    # explicit vector-space opt-in: integrate/difference really are +/−
+    # (no wrapping), so the analytic Euler-Jacobian path is exact
+    # (ocp/dynamics.py _vector_space_config)
+    vector_space: bool = dataclasses.field(default=True, metadata={"static": True})
 
     def neutral_configuration(self) -> jax.Array:
         return jnp.zeros((1,), dtype=jnp.result_type(self.mass))

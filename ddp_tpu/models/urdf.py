@@ -165,7 +165,8 @@ def load_urdf(
     rec = _records(xml_text, backend)
 
     n_joints = len(rec["joint_names"])
-    # records from the native backend predate limit/mimic extraction
+    # both backends emit limit/mimic records (native: ddp_urdf_joint_limit_
+    # mimic; parity pinned by tests/test_urdf.py::test_backend_parity_*)
     limits = rec.get("joint_limits") or [None] * n_joints
     mimics = rec.get("joint_mimic") or [None] * n_joints
 

@@ -30,7 +30,10 @@ def _vector_space_config(model) -> bool:
     jt = getattr(model, "joint_types", None)
     if jt is not None:
         return all(t in ("revolute", "prismatic") for t in jt)
-    return getattr(model, "nq", -1) == getattr(model, "nv", -2)
+    # closed-form models must opt in explicitly (model.vector_space = True);
+    # inferring from nq == nv would silently mis-handle a model with
+    # non-additive integrate (e.g. angle wrapping) — ADVICE r3
+    return bool(getattr(model, "vector_space", False))
 
 
 @jax.tree_util.register_dataclass

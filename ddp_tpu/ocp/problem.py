@@ -240,6 +240,17 @@ class Problem:
         ts = jnp.arange(T)
         if fx_fu is not None and self.second_order:
             raise ValueError("precomputed fx_fu is first-order (GN) only")
+        if fx_fu is not None and not getattr(
+            self.dynamics, "analytic_jacobians_ok", False
+        ):
+            # precomputed *coordinate* Jacobians skip the chart correction E
+            # the generic per_t applies — only valid when the configuration
+            # is a vector space (E = I); reject instead of silently
+            # returning wrong fz for manifold models (ADVICE r3)
+            raise ValueError(
+                "fx_fu requires dynamics.analytic_jacobians_ok (vector-space "
+                "configuration); manifold models need the generic JVP path"
+            )
         if fx_fu is not None:
             # dynamics Jacobians precomputed by the caller (e.g. the batched
             # Pallas fd-derivatives kernel, kernels/fd_derivs.py, which

@@ -480,10 +480,18 @@ def solve_batched(
                 "revolute/prismatic RobotModel"
             )
         nq, nv_, ndx = model.nq, model.nv, problem.ndx
-        fd_block = 512 if (B * T) % 512 == 0 else 128
+        # lane-block size for the fd kernel: honor an explicit block_b
+        # (B·T must divide by it), else prefer 512 (measured ~2.7× faster
+        # than 128, docs/DESIGN.md) with 128 as fallback (ADVICE r3)
+        fd_block = (
+            block_b
+            if block_b is not None
+            else (512 if (B * T) % 512 == 0 else 128)
+        )
         if (B * T) % fd_block:
             raise ValueError(
-                f"deriv='pallas' needs B*T={B * T} divisible by {fd_block}"
+                f"deriv='pallas' needs B*T={B * T} divisible by the lane "
+                f"block ({fd_block}; pass block_b to override)"
             )
         dt_ = problem.dynamics.dt
 

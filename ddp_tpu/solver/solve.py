@@ -138,6 +138,7 @@ def solve(
     mults_init_jac: jax.Array | None = None,
     history: bool = False,
     matmul_precision: str | None = None,
+    reference_schedule: bool = False,
 ) -> SolveResult:
     """``precise=True`` runs the finite-precision-critical stages in
     double-float (solver/precise.py): TF Riccati sweep, TF line-search
@@ -155,13 +156,22 @@ def solve(
 
     ``matmul_precision``: None (platform default) | "high" | "highest" —
     pins every stage's matmul passes (see solve_batched's knob; the TPU
-    default bf16 MXU passes cost feasibility on arm-class models)."""
+    default bf16 MXU passes cost feasibility on arm-class models).
+
+    ``reference_schedule=True`` disables every float-native schedule
+    adaptation and runs the reference's exact outer loop (ddp.hpp:744-842):
+    raw ``opt_obj < w`` gate (no w_min floor / plateau / inner cap), μ·10 on
+    failure with w and n unchanged, on success n = opt_obj(new mults)/μ^0.1
+    and w /= μ (ddp.hpp:787-797), stopping on the μ-dependent opt_obj
+    measure, and the pre-loop forward result discarded (never swapped in,
+    ddp.hpp:768-826).  Exists to be cross-validated against
+    tests/reference_oracle.py — the reference-parity artifact."""
     if matmul_precision is not None:
         with jax.default_matmul_precision(matmul_precision):
             return solve(
                 problem, params, x_init, us_init=us_init, method=method,
                 precise=precise, mults_init_jac=mults_init_jac,
-                history=history,
+                history=history, reference_schedule=reference_schedule,
             )  # fmt: skip
     T, nu, ne, ndx = problem.horizon, problem.nu, problem.ne, problem.ndx
     dtype = x_init.dtype
@@ -226,7 +236,12 @@ def solve(
     mu = bres.mu
     fwd = forward_pass(problem, xs, us, bres.k, bres.K, mults, mu, precise=precise)
     fb_val, fb_jac, fb_origin = bres.k, bres.K, xs[:-1]
-    xs, us = fwd.xs, fwd.us
+    if not reference_schedule:
+        # the reference never swaps the pre-loop forward's trajectory in
+        # (ddp.hpp:773 writes new_traj; the loop's update_derivatives reads
+        # traj and iteration 0's forward overwrites new_traj) — keeping it
+        # is our (documented) improvement; reference mode discards it
+        xs, us = fwd.xs, fwd.us
 
     class Carry(NamedTuple):
         it: jax.Array
@@ -285,13 +300,21 @@ def solve(
         # convergence test once μ has escalated past 1/eps.
         opt_lag = opt_lag_fn(problem, derivs, mults.val, mults.jac)
 
-        done = jnp.logical_and(opt_lag < threshold, opt_constr < threshold)
-        # inner-convergence gate: the reference's opt_obj < w, with a dtype
-        # floor and plateau detection (see SolverParams docstring)
-        plateau = jnp.logical_and(opt_obj >= 0.1 * c.opt_obj_prev, ~c.just_changed)
-        gate = jnp.logical_or(opt_obj < jnp.maximum(c.w, w_min), plateau)
-        if params.inner_iters_max is not None:
-            gate = jnp.logical_or(gate, c.inner >= params.inner_iters_max)
+        if reference_schedule:
+            # reference stopping rule (ddp.hpp:673-675) and raw gate
+            # (ddp.hpp:677): no dtype floor, no plateau, no inner cap
+            done = jnp.logical_and(opt_obj < threshold, opt_constr < threshold)
+            gate = opt_obj < c.w
+        else:
+            done = jnp.logical_and(opt_lag < threshold, opt_constr < threshold)
+            # inner-convergence gate: the reference's opt_obj < w, with a
+            # dtype floor and plateau detection (see SolverParams docstring)
+            plateau = jnp.logical_and(
+                opt_obj >= 0.1 * c.opt_obj_prev, ~c.just_changed
+            )
+            gate = jnp.logical_or(opt_obj < jnp.maximum(c.w, w_min), plateau)
+            if params.inner_iters_max is not None:
+                gate = jnp.logical_or(gate, c.inner >= params.inner_iters_max)
         upd_success = jnp.logical_and(~done, jnp.logical_and(gate, opt_constr < c.n))
         upd_failure = jnp.logical_and(~done, jnp.logical_and(gate, opt_constr >= c.n))
 
@@ -333,12 +356,20 @@ def solve(
         # stopping threshold; behavior coincides with the reference when
         # precision is not the binding constraint.
         mu_new = jnp.where(upd_failure, c.mu * 10.0, c.mu)
-        n_new = jnp.where(
-            upd_success,
-            jnp.maximum(c.n * c.mu**-0.9, threshold),
-            jnp.where(upd_failure, mu_new**-0.1, c.n),
-        )
-        w_new = jnp.where(upd_success, c.w / c.mu, c.w)
+        if reference_schedule:
+            # exact ddp.hpp:787-797: on success n = opt_obj recomputed with
+            # the *updated* multipliers / μ^0.1 and w /= μ; on failure only
+            # μ·10 fires (n, w untouched)
+            opt_obj2 = opt_obj_fn(problem, derivs, mults.val, mults.jac, c.mu)
+            n_new = jnp.where(upd_success, opt_obj2 / c.mu**0.1, c.n)
+            w_new = jnp.where(upd_success, c.w / c.mu, c.w)
+        else:
+            n_new = jnp.where(
+                upd_success,
+                jnp.maximum(c.n * c.mu**-0.9, threshold),
+                jnp.where(upd_failure, mu_new**-0.1, c.n),
+            )
+            w_new = jnp.where(upd_success, c.w / c.mu, c.w)
 
         # --- backward / forward (ddp.hpp:804-826) ---
         bres = bwd(derivs, mults.val, mults.jac, mu_new, c.reg)

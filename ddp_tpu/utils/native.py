@@ -41,9 +41,21 @@ def load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
+    # always invoke make: a no-op when the .so is current, a rebuild when
+    # ddp_runtime.cpp is newer (keeps a stale .so from shipping an older ABI)
+    if not _build() and not os.path.exists(_SO):
         return None
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+        _bind(lib)
+    except (OSError, AttributeError):
+        # unloadable or ABI-stale library (missing symbol) → no native path
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib):
     lib.ddp_log.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.ddp_chrono_start.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
     lib.ddp_chrono_start.restype = ctypes.c_int64
@@ -60,12 +72,13 @@ def load():
     lib.ddp_urdf_joint_numeric.argtypes = [
         ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
     ]  # fmt: skip
+    lib.ddp_urdf_joint_limit_mimic.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]  # fmt: skip
     lib.ddp_urdf_link_inertial.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
     lib.ddp_urdf_string.argtypes = [ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
     lib.ddp_urdf_string.restype = ctypes.c_char_p
     lib.ddp_urdf_free.argtypes = [ctypes.c_int64]
-    _lib = lib
-    return _lib
 
 
 class NativeChrono:
@@ -124,9 +137,42 @@ def parse_urdf_native(xml: str):
         lib.ddp_urdf_link_inertial(
             h, inertial.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         )
+        lim = np.zeros(nj * 9, dtype=np.float64)
+        mim = np.zeros(nj * 3, dtype=np.float64)
+        lib.ddp_urdf_joint_limit_mimic(
+            h,
+            lim.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            mim.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        lim = lim.reshape(nj, 9)
+        mim = mim.reshape(nj, 3)
 
         def strings(table, n):
             return [lib.ddp_urdf_string(h, table.encode(), i).decode() for i in range(n)]
+
+        mimic_joint = strings("joint_mimic_joint", nj)
+        # same record format as _records_from_etree: None when the element
+        # is absent, dict of *present* attributes otherwise
+        joint_limits = [
+            None
+            if lim[i, 0] == 0.0
+            else {
+                k: lim[i, 2 + 2 * j]
+                for j, k in enumerate(("lower", "upper", "velocity", "effort"))
+                if lim[i, 1 + 2 * j] != 0.0
+            }
+            for i in range(nj)
+        ]
+        joint_mimic = [
+            None
+            if mim[i, 0] == 0.0
+            else {
+                "joint": mimic_joint[i],
+                "multiplier": mim[i, 1],
+                "offset": mim[i, 2],
+            }
+            for i in range(nj)
+        ]
 
         return dict(
             robot_name=lib.ddp_urdf_string(h, b"robot_name", 0).decode(),
@@ -136,6 +182,8 @@ def parse_urdf_native(xml: str):
             joint_children=strings("joint_child", nj),
             joint_origin=origin.reshape(nj, 6),
             joint_axis=axis.reshape(nj, 3),
+            joint_limits=joint_limits,
+            joint_mimic=joint_mimic,
             link_names=strings("link_name", nl),
             link_inertial=inertial.reshape(nl, 13),
         )
