@@ -155,6 +155,55 @@ def _mpc_device_time_inner(jax, jnp, n_replans, glob, tempfile):
     return out
 
 
+def _pallas_parity(jax, jnp, problem, params, x0s, n_check=512):
+    """TPU-compiled kernel-correctness signal (round-4): one backward sweep
+    through the Mosaic-compiled Pallas kernel AND the pinned XLA sweep on
+    identical inputs, reporting max|Δk|/max|ΔK| across the batch.  The
+    interpret-mode exactness tests (tests/test_pallas_riccati.py) cover the
+    kernel *math*; this covers the actual Mosaic compilation on the chip —
+    a lowering regression shows up here as a loud number, not a silent
+    feasibility drop.  Math both must agree on: ddp_bwd.ipp:9-155."""
+    from ddp_tpu.solver import batched as bt
+
+    x = x0s[:n_check]
+    B = x.shape[0]
+    T, ne, ndx, nu = problem.horizon, problem.ne, problem.ndx, problem.nu
+    dtype = x.dtype
+    us = jnp.zeros((B, T, nu), dtype)
+
+    @jax.jit
+    def both(x):
+        xs = jax.vmap(problem.rollout)(x, us)
+        derivs = jax.vmap(problem.derivatives)(xs, us)
+        mv = jnp.zeros((B, T, ne), dtype)
+        mj = jnp.zeros((B, T, ne, ndx), dtype)
+        mu = jnp.full((B,), params.mu, dtype)
+        reg = jnp.zeros((B,), dtype)
+        kp, Kp, okp, _ = bt._backward_pallas_levels(
+            derivs, mv, mj, mu, reg, n_levels=1
+        )
+        kx, Kx, okx, _ = jax.vmap(
+            lambda d, v, j, m, r: bt._backward_multi_reg(d, v, j, m, r, n_levels=1)
+        )(derivs, mv, mj, mu, reg)
+        return (
+            jnp.max(jnp.abs(kp - kx)),
+            jnp.max(jnp.abs(Kp - Kx)),
+            jnp.logical_and(jnp.all(okp), jnp.all(okx)),
+        )
+
+    dk, dK, ok = both(x)
+    out = {
+        "max_dk": float(dk),
+        "max_dK": float(dK),
+        "both_ok": bool(ok),
+        "n_check": int(B),
+    }
+    # loud failure above ~1e-4 (f32 sweeps at these scales agree to ~1e-5)
+    if not bool(ok) or float(dk) > 1e-4 or float(dK) > 1e-4:
+        out["ALERT"] = "pallas backward diverged from XLA sweep on-device"
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -254,6 +303,12 @@ def main() -> None:
     }
     if fallback_error:
         row["fallback_error"] = fallback_error
+    if backend == "pallas":
+        # on-device Pallas-vs-XLA backward parity (kernel health signal)
+        try:
+            row["pallas_parity"] = _pallas_parity(jax, jnp, problem, params, x0s)
+        except Exception as exc:  # noqa: BLE001 — headline must print regardless
+            row["pallas_parity"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     # Second BASELINE metric (north_star: "arm MPC latency p50/p99 <10 ms"):
     # UR5 replan device time from a jax.profiler trace — each "XLA Modules"
     # event on the TPU plane is one on-device execution of the jitted replan

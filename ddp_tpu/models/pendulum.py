@@ -48,6 +48,22 @@ class Pendulum:
         del v  # no damping, matching the reference (pendulum_model.hpp:105-114)
         return -(_G / self.length) * jnp.sin(q) + tau / self.mass
 
+    def forward_dynamics_tf(self, q, v, tau):
+        """Double-float forward dynamics: the model's piece of the TF-storage
+        solve mode (solver/precise.py) — a TF trajectory is only as accurate
+        as the dynamics evaluated on it.  ≙ instantiating dynamics_aba at an
+        MPFR scalar (pendulum_model.hpp:105-114 under test/pendulum_ddp.cpp:
+        15-17's scalar typedef)."""
+        del v
+        from ddp_tpu.ops import twofloat as tf
+
+        s = tf.sin(q)
+        coef = tf.div(
+            tf.from_float(jnp.asarray(-_G, q.hi.dtype)),
+            tf.from_float(self.length),
+        )
+        return tf.add(tf.mul(coef, s), tf.div(tau, tf.from_float(self.mass)))
+
     def fd_derivatives(self, q: jax.Array, v: jax.Array, tau: jax.Array):
         """(a, ∂a/∂q, ∂a/∂v, ∂a/∂τ) closed-form — the reference's analytic
         d_dynamics_aba (pendulum_model.hpp:116-130), feeding the analytic

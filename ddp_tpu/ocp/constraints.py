@@ -70,6 +70,16 @@ class ConfigTarget:
         q, _ = state_split(self.model, x)
         return self.model.difference(self.target, q)
 
+    def value_tf(self, step_tf, t, x, u):
+        """Double-float evaluation for the TF-storage solve mode
+        (solver/precise.py).  Vector-space models only: difference ≡ −."""
+        del step_tf, t, u
+        from ddp_tpu.ops import twofloat as tf
+
+        nq = self.model.nq
+        q = tf.TF(x.hi[..., :nq], x.lo[..., :nq])
+        return tf.sub(q, tf.from_float(self.target))
+
     def active(self, t: int) -> bool:
         return t in self.active_ts
 
@@ -98,6 +108,13 @@ class StateTarget:
         qt = self.target[: q.shape[0]]
         vt = self.target[q.shape[0] :]
         return jnp.concatenate([self.model.difference(qt, q), v - vt])
+
+    def value_tf(self, step_tf, t, x, u):
+        """TF-storage evaluation (vector-space models: ⊖ ≡ −)."""
+        del step_tf, t, u
+        from ddp_tpu.ops import twofloat as tf
+
+        return tf.sub(x, tf.from_float(self.target))
 
     def active(self, t: int) -> bool:
         return t in self.active_ts
@@ -180,6 +197,11 @@ class AdvanceTime:
     def value(self, t, x, u):
         x_next = self.dynamics(t, x, u)
         return self.inner.value(t + 1, x_next, u)
+
+    def value_tf(self, step_tf, t, x, u):
+        """TF-storage evaluation: roll the supplied TF dynamics step and
+        evaluate the inner constraint in TF (same-u forwarding)."""
+        return self.inner.value_tf(step_tf, t + 1, step_tf(t, x, u), u)
 
     def active(self, t: int) -> bool:
         return self.inner.active(t + 1)

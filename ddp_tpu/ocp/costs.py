@@ -27,8 +27,21 @@ class QuadControlCost:
         del t, x
         return 0.5 * self.c * jnp.sum(u * u)
 
+    def stage_tf(self, t, x, u):
+        """Double-float stage cost for the TF-storage solve mode."""
+        del t, x
+        from ddp_tpu.ops import twofloat as tf
+
+        return tf.mul(tf.from_float(0.5 * self.c), tf.sum_(tf.mul(u, u)))
+
     def terminal(self, x):
         return jnp.zeros((), dtype=x.dtype)
+
+    def terminal_tf(self, x):
+        from ddp_tpu.ops import twofloat as tf
+
+        z = jnp.zeros((), dtype=x.hi.dtype)
+        return tf.TF(z, z)
 
 
 @jax.tree_util.register_dataclass

@@ -53,13 +53,15 @@ class EulerDynamics:
 
     @property
     def analytic_jacobians_ok(self) -> bool:
-        """Whether ``jacobians`` is available and exact for this model:
-        requires the model's assembled ∂FD blocks (``fd_derivatives``) and a
-        vector-space configuration (so the coordinate Jacobian IS the
-        local-chart Jacobian — no ⊕/⊖ chain corrections needed)."""
-        return hasattr(self.model, "fd_derivatives") and _vector_space_config(
-            self.model
-        )
+        """Whether ``jacobians`` is available and exact for this model: the
+        model must expose assembled ∂FD blocks (``fd_derivatives``).  Valid
+        for every joint type: vector-space configurations use the raw
+        blocks; quaternion/SO(2)-manifold configurations chain them through
+        the chart (d_integrate/d_difference corrections — exactly
+        problem.hpp:463-503's structure, where the reference composes
+        d_integrate_dq/dv with computeABADerivatives for all Lie-group
+        joints, pinocchio_model.ipp:222-321, 359-400)."""
+        return hasattr(self.model, "fd_derivatives")
 
     def jacobians(self, t, x: jax.Array, u: jax.Array):
         """(x_next, fx, fu) assembled from the Euler-step structure.
@@ -68,22 +70,55 @@ class EulerDynamics:
         chains d_integrate with the model's analytic ABA derivatives instead
         of differencing the whole step; this is the same chain rule on
 
-            q' = q + dt·v,  v' = v + dt·a(q, v, u)
+            q' = q ⊕ (dt·v),  v' = v + dt·a(q, v, u).
 
-        ⇒  fx = [[I, dt·I], [dt·∂a/∂q, I + dt·∂a/∂v]],  fu = [[0], [dt·∂a/∂u]].
+        Vector-space configurations (revolute/prismatic chains, pendulum):
 
-        Only valid when ``analytic_jacobians_ok`` (vector-space
-        configuration); the derivative engine (ocp/problem.py) falls back to
-        the generic shared-primal JVP pass otherwise."""
+            fx = [[I, dt·I], [dt·∂a/∂q, I + dt·∂a/∂v]],  fu = [[0], [dt·∂a/∂u]]
+
+        Manifold configurations (freeflyer/spherical/planar — quaternion and
+        SO(2) blocks): the dynamics blocks still come from ONE kinematics
+        pass + ONE Cholesky (fd_derivatives), and only the cheap chart maps
+        are autodiffed — no JVP columns pushed through RNEA/ABA:
+
+            fx = [[d_int_dq, d_int_dv·dt], [dt·(∂a/∂q)·Q, I + dt·∂a/∂v]]
+
+        with Q = ∂ integrate(q, δ)/∂δ|₀ (coordinate→tangent map, ≙ the E
+        correction) and d_int_dq/dv the group transport Jacobians
+        (≙ d_integrate_dq/dv, pinocchio_model.ipp:238-254)."""
         del t
         model = self.model
         dt = self.dt
         q, v = state_split(model, x)
         a, A, Bv, Bu = model.fd_derivatives(q, v, u)
-        nv, nu = A.shape[0], u.shape[-1]
+        nv, nu = Bv.shape[0], u.shape[-1]
         dtype = x.dtype
         I = jnp.eye(nv, dtype=dtype)
-        fx = jnp.block([[I, dt * I], [dt * A, I + dt * Bv]])
+        if _vector_space_config(model):
+            top = jnp.concatenate([I, dt * I], axis=1)
+        else:
+            z = jnp.zeros((nv,), dtype)
+            q1 = model.integrate(q, dt * v)
+            # A is the coordinate ∂a/∂q [nv, nq]; chain through the chart:
+            # a(integrate(q, δ)) ≈ a + A·Q·δ with Q = ∂integrate/∂δ|₀
+            Q = jax.jacfwd(lambda d: model.integrate(q, d))(z)  # [nq, nv]
+            A = A @ Q
+            # group-transport blocks of the q-row (chart maps only — each a
+            # few quaternion/SO(2) products, no dynamics)
+            d_int_dq = jax.jacfwd(
+                lambda d: model.difference(
+                    q1, model.integrate(model.integrate(q, d), dt * v)
+                )
+            )(z)
+            d_int_dv = jax.jacfwd(
+                lambda dv_: model.difference(
+                    q1, model.integrate(q, dt * (v + dv_))
+                )
+            )(z)
+            top = jnp.concatenate([d_int_dq, d_int_dv], axis=1)
+        fx = jnp.concatenate(
+            [top, jnp.concatenate([dt * A, I + dt * Bv], axis=1)], axis=0
+        )
         fu = jnp.concatenate([jnp.zeros((nv, nu), dtype), dt * Bu], axis=0)
         x_next = state_pack(model.integrate(q, dt * v), v + dt * a)
         return x_next, fx, fu

@@ -243,13 +243,15 @@ class Problem:
         if fx_fu is not None and not getattr(
             self.dynamics, "analytic_jacobians_ok", False
         ):
-            # precomputed *coordinate* Jacobians skip the chart correction E
-            # the generic per_t applies — only valid when the configuration
-            # is a vector space (E = I); reject instead of silently
-            # returning wrong fz for manifold models (ADVICE r3)
+            # fx_fu must be TANGENT-space Jacobians (what
+            # dynamics.jacobians produces — incl. the chart corrections on
+            # manifold models); models without that surface have no valid
+            # producer, so reject instead of silently skipping the E
+            # correction the generic per_t applies (ADVICE r3)
             raise ValueError(
-                "fx_fu requires dynamics.analytic_jacobians_ok (vector-space "
-                "configuration); manifold models need the generic JVP path"
+                "fx_fu requires dynamics.analytic_jacobians_ok "
+                "(dynamics.jacobians is the producer of valid tangent-space "
+                "fx/fu); other models need the generic JVP path"
             )
         if fx_fu is not None:
             # dynamics Jacobians precomputed by the caller (e.g. the batched

@@ -194,3 +194,100 @@ def contract0(v: TF, T3: TF) -> TF:
     (≙ tensor.hpp:179-235 noalias_contract_add_outdim) in TF."""
     p = mul(TF(v.hi[:, None, None], v.lo[:, None, None]), T3)
     return sum_(p, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# elementary functions: TF-accurate sin/cos
+# ---------------------------------------------------------------------------
+# Needed by the TF-storage solve mode (solver/precise.py): a TF trajectory is
+# useless if the dynamics round its configuration through a working-precision
+# sin.  Strategy: Cody–Waite range reduction with a 3-term π/2 cascade (each
+# product error-free), then a TF-Horner Taylor series on |y| ≤ π/4.
+#
+# Accuracy: with f32 pairs (~2^-48 pair resolution) the series truncation
+# (~1e-16 relative at π/4 with the terms below) and the reduction cascade
+# (~|k|·2^-70) are both below pair resolution — full TF accuracy.  With f64
+# pairs the same truncation bounds mean plain-f64-level accuracy (not the
+# full 2^-106 pair resolution); every floor the solver chases is far above
+# either.  Arguments are assumed |x| ≲ 1e4 (robot configurations), keeping
+# the reduction multiple k f32-exact.
+
+def _pi2_terms(dtype):
+    """π/2 = c0 + c1 + c2 as a cascade of ``dtype`` floats (c0 exact head,
+    c1 head of the remainder, c2 the rest)."""
+    import numpy as np
+
+    pi2 = np.float64(np.pi / 2)
+    c0 = np.asarray(pi2, dtype)
+    c1 = np.asarray(pi2 - np.float64(c0), dtype)
+    c2 = np.asarray(pi2 - np.float64(c0) - np.float64(c1), dtype)
+    return float(c0), float(c1), float(c2)
+
+
+def _poly_tf(y2: TF, coeffs) -> TF:
+    """TF-Horner Σ c_i · y2^i with each f64 coefficient split hi/lo."""
+    dtype = y2.hi.dtype
+    import numpy as np
+
+    def c_tf(c):
+        hi = np.asarray(c, dtype)
+        lo = np.asarray(np.float64(c) - np.float64(hi), dtype)
+        return TF(jnp.full_like(y2.hi, float(hi)), jnp.full_like(y2.hi, float(lo)))
+
+    acc = c_tf(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        acc = add(mul(acc, y2), c_tf(c))
+    return acc
+
+
+# 1/(2k+1)! for sin·y·P(y²), 1/(2k)! for cos·P(y²), |y| ≤ π/4
+_SIN_COEFFS = [
+    1.0, -1.0 / 6, 1.0 / 120, -1.0 / 5040, 1.0 / 362880,
+    -1.0 / 39916800, 1.0 / 6227020800, -1.0 / 1307674368000,
+    1.0 / 355687428096000,
+]  # fmt: skip
+_COS_COEFFS = [
+    1.0, -0.5, 1.0 / 24, -1.0 / 720, 1.0 / 40320, -1.0 / 3628800,
+    1.0 / 479001600, -1.0 / 87178291200, 1.0 / 20922789888000,
+]  # fmt: skip
+
+
+def _sincos_reduced(y: TF):
+    y2 = mul(y, y)
+    s = mul(y, _poly_tf(y2, _SIN_COEFFS))
+    c = _poly_tf(y2, _COS_COEFFS)
+    return s, c
+
+
+def sincos(x: TF):
+    """(sin x, cos x) at TF accuracy (see module notes above)."""
+    dtype = x.hi.dtype
+    c0, c1, c2 = _pi2_terms(dtype)
+    k = jnp.round(to_float(x) / c0)
+    # y = x − k·(c0 + c1 + c2), every product error-free
+    y = sub(x, TF(*two_prod(k, jnp.asarray(c0, dtype))))
+    y = sub(y, TF(*two_prod(k, jnp.asarray(c1, dtype))))
+    y = sub(y, TF(*two_prod(k, jnp.asarray(c2, dtype))))
+    s, c = _sincos_reduced(y)
+    q = jnp.mod(k, 4.0)  # quadrant: sin(y + q·π/2)
+    sin_hi = jnp.select(
+        [q == 0, q == 1, q == 2], [s.hi, c.hi, -s.hi], -c.hi
+    )
+    sin_lo = jnp.select(
+        [q == 0, q == 1, q == 2], [s.lo, c.lo, -s.lo], -c.lo
+    )
+    cos_hi = jnp.select(
+        [q == 0, q == 1, q == 2], [c.hi, -s.hi, -c.hi], s.hi
+    )
+    cos_lo = jnp.select(
+        [q == 0, q == 1, q == 2], [c.lo, -s.lo, -c.lo], s.lo
+    )
+    return TF(sin_hi, sin_lo), TF(cos_hi, cos_lo)
+
+
+def sin(x: TF) -> TF:
+    return sincos(x)[0]
+
+
+def cos(x: TF) -> TF:
+    return sincos(x)[1]

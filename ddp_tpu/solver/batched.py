@@ -149,11 +149,19 @@ def _backward_sweep(derivs, mult_val, mult_jac, mu, reg, unroll=1):
 
 
 def _pallas_block_plan(
-    *, B, T, n, m, e, second_order, itemsize, block_b=None, budget=8 * 2**20
+    *, B, T, n, m, e, second_order, itemsize, block_b=None, budget=16 * 2**20
 ):
     """VMEM plan for the batch-on-lanes kernel: pick (block_b, time_chunk)
-    so each program's [chunk, rows, block_b] slab stays under ``budget``
-    (~8 MB of the 16 MB scoped limit, leaving room for Mosaic's stack).
+    so the program's estimated scoped-VMEM footprint stays under ``budget``
+    (the 16 MiB scoped limit).
+
+    The footprint model (calibrated against Mosaic's actual allocations —
+    a 7-DoF e=3 workload at block 512 OOMed at 17.94 MiB while the arm
+    block-256 config peaked ~15.4 MiB):
+
+        2·chunk·(rows_in + rows_out)·block_b     double-buffered in/out slabs
+      + carry_rows·block_b                       (Vx, Vxx) scratch
+      + C_STACK·(n² + n·m + m²)·block_b          per-lane Q/V intermediates
 
     Two knobs, applied in order: shrink the lane block — needed at arm-class
     dims, where rows grows ~n² and time-chunking alone bottoms out — then
@@ -162,6 +170,16 @@ def _pallas_block_plan(
     rows = 2 * (n + m + n * n + m * n + m * m) + e * (2 + 2 * n + m) + 2
     if second_order:
         rows += n * (n * n + m * n + m * m) + e * (n * n + m * n + m * m)
+    rows_out = m + m * n + 1
+    carry = 2 * (n + n * n)
+    C_STACK = 8
+
+    def est(chunk, d):
+        return (
+            2 * chunk * (rows + rows_out) * d
+            + carry * d
+            + C_STACK * (n * n + n * m + m * m) * d
+        ) * itemsize
 
     def min_chunk(t):
         while t > 8 and t % 2 == 0:
@@ -176,7 +194,7 @@ def _pallas_block_plan(
         candidates = aligned + [d for d in divisors if d % 128]
         block_b = None
         for d in candidates:
-            if min_chunk(T) * rows * d * itemsize <= budget:
+            if est(min_chunk(T), d) <= budget:
                 block_b = d
                 break
         if block_b is None:
@@ -192,7 +210,7 @@ def _pallas_block_plan(
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
     chunk = T
-    while chunk > 8 and chunk % 2 == 0 and chunk * rows * block_b * itemsize > budget:
+    while chunk > 8 and chunk % 2 == 0 and est(chunk, block_b) > budget:
         chunk //= 2
     return block_b, chunk
 
@@ -466,13 +484,16 @@ def solve_batched(
     # vmapped per-sample helpers
     vrollout = jax.vmap(problem.rollout)
     if deriv == "pallas":
-        from ddp_tpu.ocp.dynamics import EulerDynamics
+        from ddp_tpu.ocp.dynamics import EulerDynamics, _vector_space_config
         from ddp_tpu.kernels.fd_derivs import fd_derivs_pallas
 
         if not (
             isinstance(problem.dynamics, EulerDynamics)
             and problem.dynamics.analytic_jacobians_ok
             and hasattr(model, "joint_types")
+            and _vector_space_config(model)  # the lane kernel and the fx
+            # assembly below are vector-space only; manifold models take
+            # deriv="jvp" (whose analytic path chains the chart)
             and not problem.second_order
         ):
             raise ValueError(
@@ -679,7 +700,9 @@ def solve_batched(
             val=_bwhere(upd_s, val_upd, mults.val),
             jac=constrain_jac(_bwhere(upd_s, jac_upd, mults.jac)),
         )
-        mu_new = jnp.where(upd_f, c.mu * 10.0, c.mu)
+        mu_new = jnp.where(upd_f, c.mu * params.mu_factor, c.mu)
+        if params.mu_max is not None:
+            mu_new = jnp.minimum(mu_new, jnp.asarray(params.mu_max, dtype))
         n_new = jnp.where(
             upd_s,
             jnp.maximum(c.n * c.mu**-0.9, threshold),

@@ -105,45 +105,65 @@ def al_cost_total_tf(problem, xs, us, mults, mu) -> TF:
     return tf.sum_(al_costs_tf(problem, xs, us, mults, mu))
 
 
-def optimality_obj_tf(problem, derivs, mult_val, mult_jac, mu) -> jax.Array:
-    """max_t ‖∂L_aug/∂u_t‖ (ddp.hpp:575-627) with TF accumulation."""
+def _zero3(derivs, mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo):
+    z = jnp.zeros_like
+    return (
+        eq_lo if eq_lo is not None else z(derivs.eq),
+        mult_val_lo if mult_val_lo is not None else z(mult_val),
+        mult_jac_lo if mult_jac_lo is not None else z(mult_jac),
+    )
+
+
+def optimality_obj_tf(
+    problem, derivs, mult_val, mult_jac, mu,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+) -> jax.Array:
+    """max_t ‖∂L_aug/∂u_t‖ (ddp.hpp:575-627) with TF accumulation.  The
+    optional lo arrays carry eq/multiplier pair residues (storage mode)."""
 
     def step(adj: TF, inp):
-        lx, lu, fx, fu, eqv, eqx, equ, pe, pex = inp
-        lu_aug = tf.add(_F(lu), tf.matvec(_F(equ.T), _F(pe)))
-        lu_aug = tf.add(lu_aug, tf.matvec(_F(equ.T), _mul_scalar(mu, eqv)))
+        lx, lu, fx, fu, eqv, eqx, equ, pe, pex, eqv_lo, pe_lo, pex_lo = inp
+        eqv_tf, pe_tf, pex_tf = TF(eqv, eqv_lo), TF(pe, pe_lo), TF(pex, pex_lo)
+        lu_aug = tf.add(_F(lu), tf.matvec(_F(equ.T), pe_tf))
+        lu_aug = tf.add(lu_aug, tf.matvec(_F(equ.T), tf.mul(_F(mu), eqv_tf)))
         lu_aug = tf.add(lu_aug, tf.matvec(_F(fu.T), adj))
         score = jnp.sqrt(tf.dot(tf.to_float(lu_aug), tf.to_float(lu_aug)).hi)
         adj_new = tf.add(tf.matvec(_F(fx.T), adj), _F(lx))
-        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), _mul_scalar(mu, eqv)))
-        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), _F(pe)))
-        adj_new = tf.add(adj_new, tf.matvec(_F(pex.T), _F(eqv)))
+        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), tf.mul(_F(mu), eqv_tf)))
+        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), pe_tf))
+        adj_new = tf.add(adj_new, tf.matvec(tf.tT(pex_tf), eqv_tf))
         return adj_new, score
 
+    lo3 = _zero3(derivs, mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo)
     inputs = (
         derivs.lx, derivs.lu, derivs.fx, derivs.fu,
-        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac,
+        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac, *lo3,
     )  # fmt: skip
     _, scores = jax.lax.scan(step, _F(derivs.lfx), inputs, reverse=True)
     return jnp.max(scores)
 
 
-def optimality_lag_tf(problem, derivs, mult_val, mult_jac) -> jax.Array:
+def optimality_lag_tf(
+    problem, derivs, mult_val, mult_jac,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+) -> jax.Array:
     """max_t ‖∂L/∂u_t‖ (μ-free, ddp.hpp:525-573) with TF accumulation."""
 
     def step(adj: TF, inp):
-        lx, lu, fx, fu, eqv, eqx, equ, pe, pex = inp
-        lu_aug = tf.add(_F(lu), tf.matvec(_F(equ.T), _F(pe)))
+        lx, lu, fx, fu, eqv, eqx, equ, pe, pex, eqv_lo, pe_lo, pex_lo = inp
+        eqv_tf, pe_tf, pex_tf = TF(eqv, eqv_lo), TF(pe, pe_lo), TF(pex, pex_lo)
+        lu_aug = tf.add(_F(lu), tf.matvec(_F(equ.T), pe_tf))
         lu_aug = tf.add(lu_aug, tf.matvec(_F(fu.T), adj))
         score = jnp.sqrt(tf.dot(tf.to_float(lu_aug), tf.to_float(lu_aug)).hi)
         adj_new = tf.add(tf.matvec(_F(fx.T), adj), _F(lx))
-        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), _F(pe)))
-        adj_new = tf.add(adj_new, tf.matvec(_F(pex.T), _F(eqv)))
+        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), pe_tf))
+        adj_new = tf.add(adj_new, tf.matvec(tf.tT(pex_tf), eqv_tf))
         return adj_new, score
 
+    lo3 = _zero3(derivs, mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo)
     inputs = (
         derivs.lx, derivs.lu, derivs.fx, derivs.fu,
-        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac,
+        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac, *lo3,
     )  # fmt: skip
     _, scores = jax.lax.scan(step, _F(derivs.lfx), inputs, reverse=True)
     return jnp.max(scores)
@@ -167,6 +187,7 @@ class MultsTF(NamedTuple):
     hi: al_mod.AffineMults
     lo_val: jax.Array  # [T, m]
     lo_jac: jax.Array  # [T, m, ndx]
+    lo_origin: jax.Array | None = None  # [T, nx] — TF-storage mode only
 
     @classmethod
     def from_plain(cls, mults: al_mod.AffineMults) -> "MultsTF":
@@ -174,40 +195,259 @@ class MultsTF(NamedTuple):
             hi=mults,
             lo_val=jnp.zeros_like(mults.val),
             lo_jac=jnp.zeros_like(mults.jac),
+            lo_origin=jnp.zeros_like(mults.origin),
         )
 
 
 def update_origin_tf(model, m: MultsTF, xs) -> MultsTF:
     """update_origin (mat_seq_common.hpp:62-89) with compensated
     accumulation: val' = val ⊕ jac·d in TF; jac' = jac·J with the product
-    round-off folded into lo_jac."""
+    round-off folded into lo_jac.
+
+    ``xs`` may be a plain [T+1, nx] array (envelope mode — origins stay
+    plain floats) or a TF pair (storage mode — d is computed in TF against
+    the TF origin and the new origin keeps its lo)."""
     from ddp_tpu.models.base import state_difference, state_difference_jacobian
 
-    def one(val, vlo, jac, jlo, origin, x_new):
-        d = state_difference(model, origin, x_new)
-        J = state_difference_jacobian(model, origin, x_new)
-        acc = tf.add(TF(val, vlo), tf.matvec(TF(jac, jlo), _F(d)))
-        jac_new = tf.matmat(TF(jac, jlo), _F(J))
-        return acc.hi, acc.lo, jac_new.hi, jac_new.lo, x_new
+    storage = isinstance(xs, TF)
 
-    val, vlo, jac, jlo, origin = jax.vmap(one)(
-        m.hi.val, m.lo_val, m.hi.jac, m.lo_jac, m.hi.origin, xs[:-1]
+    def one(val, vlo, jac, jlo, origin, olo, x_new_hi, x_new_lo):
+        if storage:
+            # vector-space difference in TF (storage mode gates on it)
+            d = tf.sub(TF(x_new_hi, x_new_lo), TF(origin, olo))
+            J = None
+        else:
+            d = _F(state_difference(model, origin, x_new_hi))
+            J = state_difference_jacobian(model, origin, x_new_hi)
+        acc = tf.add(TF(val, vlo), tf.matvec(TF(jac, jlo), d))
+        if J is None:
+            jac_new = TF(jac, jlo)  # vector space: d_difference = I
+        else:
+            jac_new = tf.matmat(TF(jac, jlo), _F(J))
+        return (acc.hi, acc.lo, jac_new.hi, jac_new.lo, x_new_hi, x_new_lo)
+
+    olo = m.lo_origin if m.lo_origin is not None else jnp.zeros_like(m.hi.origin)
+    if storage:
+        xh, xl = xs.hi[:-1], xs.lo[:-1]
+    else:
+        xh, xl = xs[:-1], jnp.zeros_like(xs[:-1])
+    val, vlo, jac, jlo, origin, lo_origin = jax.vmap(one)(
+        m.hi.val, m.lo_val, m.hi.jac, m.lo_jac, m.hi.origin, olo, xh, xl
     )
-    return MultsTF(al_mod.AffineMults(val, jac, origin), vlo, jlo)
+    return MultsTF(al_mod.AffineMults(val, jac, origin), vlo, jlo, lo_origin)
 
 
 def mult_update_tf(m: MultsTF, gain, val_inc, jac_inc) -> MultsTF:
     """Compensated first-order AL update (ddp.hpp:680-688):
     val ⊕= gain·val_inc, jac ⊕= gain·jac_inc, with the gain products
-    error-free (two_prod) and the sums carried in TF."""
-    val = tf.add(TF(m.hi.val, m.lo_val), _mul_scalar(gain, val_inc))
-    jac = tf.add(TF(m.hi.jac, m.lo_jac), _mul_scalar(gain, jac_inc))
+    error-free (two_prod) and the sums carried in TF.  ``val_inc``/
+    ``jac_inc`` may be plain floats or TF pairs (storage mode)."""
+    vi = val_inc if isinstance(val_inc, TF) else _F(val_inc)
+    ji = jac_inc if isinstance(jac_inc, TF) else _F(jac_inc)
+    gmul = lambda x: tf.mul(_F(jnp.broadcast_to(gain, ())), x)
+    val = tf.add(TF(m.hi.val, m.lo_val), gmul(vi))
+    jac = tf.add(TF(m.hi.jac, m.lo_jac), gmul(ji))
     return MultsTF(
-        al_mod.AffineMults(val.hi, jac.hi, m.hi.origin), val.lo, jac.lo
+        al_mod.AffineMults(val.hi, jac.hi, m.hi.origin), val.lo, jac.lo,
+        m.lo_origin,
     )
 
 
-def backward_sweep_tf(derivs, mult_val, mult_jac, mu, reg):
+# ---------------------------------------------------------------------------
+# TF trajectory storage: the full-stack extended-precision mode
+# ---------------------------------------------------------------------------
+# The envelope above widens every *accumulating stage* but stores the iterate
+# (xs, us) in f32 — docs/DESIGN.md "The f32 storage floor" shows opt_lag
+# stalling ~5e-2 on the T=60 pendulum driver because the trajectory (and so
+# every eq value and every μ-amplified term built from it) is quantized to
+# ~eps_f32·‖x‖ each iteration.  The functions below carry (xs, us) as TF
+# pairs through the rollout, the dynamics, the constraint evaluation, and
+# the line-search cost — the configuration the reference reaches by
+# instantiating the whole stack at an MPFR scalar (test/pendulum_ddp.cpp:
+# 15-17).  solve(..., precise="storage") wires them in.
+#
+# Model/problem requirements (vector-space configuration throughout):
+# - model.forward_dynamics_tf(q, v, tau) -> TF   (e.g. models/pendulum.py)
+# - constraint.value_tf(step_tf, t, x, u) -> TF  (ConfigTarget/StateTarget/
+#   AdvanceTime provide it)
+# - cost.stage_tf / terminal_tf                  (QuadControlCost provides it)
+
+
+class TrajTF(NamedTuple):
+    xs: TF  # [T+1, nx]
+    us: TF  # [T, nu]
+
+
+def supports_tf_storage(problem) -> bool:
+    model = problem.model
+    from ddp_tpu.ocp.dynamics import EulerDynamics, _vector_space_config
+
+    return (
+        isinstance(problem.dynamics, EulerDynamics)
+        and _vector_space_config(model)
+        and hasattr(model, "forward_dynamics_tf")
+        and hasattr(problem.constraint, "value_tf")
+        and hasattr(problem.cost, "stage_tf")
+    )
+
+
+def euler_step_tf(dyn, x: TF, u: TF) -> TF:
+    """Semi-implicit Euler step in TF (≙ dynamics_t::eval_to,
+    problem.hpp:441-461, at the wide scalar).  Vector-space ⊕ ≡ +."""
+    model = dyn.model
+    nq = model.nq
+    q = TF(x.hi[..., :nq], x.lo[..., :nq])
+    v = TF(x.hi[..., nq:], x.lo[..., nq:])
+    a = model.forward_dynamics_tf(q, v, u)
+    dt = _F(dyn.dt)
+    q1 = tf.add(q, tf.mul(dt, v))
+    v1 = tf.add(v, tf.mul(dt, a))
+    return TF(
+        jnp.concatenate([q1.hi, v1.hi], axis=-1),
+        jnp.concatenate([q1.lo, v1.lo], axis=-1),
+    )
+
+
+def rollout_tf(problem, x0: TF, us: TF) -> TF:
+    """TF forward rollout (≙ Problem.rollout / make_trajectory)."""
+    dyn = problem.dynamics
+
+    def body(x, u_pair):
+        x1 = euler_step_tf(dyn, x, TF(*u_pair))
+        return x1, (x1.hi, x1.lo)
+
+    _, (hs, ls) = jax.lax.scan(body, x0, (us.hi, us.lo))
+    return TF(
+        jnp.concatenate([x0.hi[None], hs], axis=0),
+        jnp.concatenate([x0.lo[None], ls], axis=0),
+    )
+
+
+def eq_values_tf(problem, xs: TF, us: TF) -> TF:
+    """Masked TF constraint values [T, ne] at the statically-active steps."""
+    import numpy as np
+
+    T, ne = problem.horizon, problem.ne
+    dtype = xs.hi.dtype
+    step_tf = lambda t, x, u: euler_step_tf(problem.dynamics, x, u)
+    hi = jnp.zeros((T, ne), dtype)
+    lo = jnp.zeros((T, ne), dtype)
+    for t in problem.active_ts():
+        x_t = TF(xs.hi[t], xs.lo[t])
+        u_t = TF(us.hi[t], us.lo[t])
+        v = problem.constraint.value_tf(step_tf, t, x_t, u_t)
+        hi = hi.at[t].set(v.hi)
+        lo = lo.at[t].set(v.lo)
+    del np
+    return TF(hi, lo)
+
+
+def al_cost_total_storage_tf(problem, traj: TrajTF, mults: "MultsTF", mu) -> TF:
+    """Σ_t AL cost with the trajectory, constraint values, multiplier
+    evaluation, and the reduction all in TF (cost_seq_aug ≙ ddp.hpp:699-735
+    at the wide scalar)."""
+    T = problem.horizon
+    xs, us = traj.xs, traj.us
+    stage = jax.vmap(
+        lambda t, xh, xl, uh, ul: problem.cost.stage_tf(t, TF(xh, xl), TF(uh, ul))
+    )(jnp.arange(T), xs.hi[:-1], xs.lo[:-1], us.hi, us.lo)
+    total = tf.sum_(stage)
+    step_tf = lambda t, x, u: euler_step_tf(problem.dynamics, x, u)
+    for t in problem.active_ts():
+        x_t = TF(xs.hi[t], xs.lo[t])
+        u_t = TF(us.hi[t], us.lo[t])
+        ce = problem.constraint.value_tf(step_tf, t, x_t, u_t)
+        # pe = val + jac·(x ⊖ origin), all TF (origin carries its own lo)
+        d = tf.sub(x_t, TF(mults.hi.origin[t], mults.lo_origin[t]))
+        pe = tf.add(
+            TF(mults.hi.val[t], mults.lo_val[t]),
+            _matvec_tf(TF(mults.hi.jac[t], mults.lo_jac[t]), d),
+        )
+        total = tf.add(total, tf.sum_(tf.mul(pe, ce)))
+        total = tf.add(
+            total, tf.mul(_F(jnp.asarray(0.5, ce.hi.dtype) * mu), tf.sum_(tf.mul(ce, ce)))
+        )
+    total = tf.add(total, problem.cost.terminal_tf(TF(xs.hi[-1], xs.lo[-1])))
+    return total
+
+
+def _matvec_tf(A: TF, x: TF) -> TF:
+    """TF [m,n] · TF [n] with the state-tangent identity (vector space)."""
+    return tf.sum_(
+        tf.mul(A, TF(x.hi[None, :], x.lo[None, :])), axis=1
+    )
+
+
+def feedback_rollout_tf(problem, traj_old: TrajTF, k, K, step) -> TrajTF:
+    """Closed-loop rollout in TF (ddp_fwd.ipp:39-51 at the wide scalar):
+    u = u_old ⊕ step·k ⊕ K·(x ⊖ x_old); x' = f_tf(x, u).  Gains (k, K) are
+    plain f32 (they multiply deltas — their own rounding is harmless)."""
+    dyn = problem.dynamics
+    xs_old, us_old = traj_old.xs, traj_old.us
+
+    def body(x, inp):
+        xo_hi, xo_lo, uo_hi, uo_lo, k_t, K_t = inp
+        dx = tf.sub(x, TF(xo_hi, xo_lo))
+        u = tf.add(TF(uo_hi, uo_lo), TF(*tf.two_prod(step, k_t)))
+        u = tf.add(u, _matvec_tf(_F(K_t), dx))
+        x1 = euler_step_tf(dyn, x, u)
+        return x1, (u.hi, u.lo, x1.hi, x1.lo)
+
+    x0 = TF(xs_old.hi[0], xs_old.lo[0])
+    _, (uh, ul, xh, xl) = jax.lax.scan(
+        body, x0, (xs_old.hi[:-1], xs_old.lo[:-1], us_old.hi, us_old.lo, k, K)
+    )
+    xs = TF(
+        jnp.concatenate([xs_old.hi[0][None], xh], axis=0),
+        jnp.concatenate([xs_old.lo[0][None], xl], axis=0),
+    )
+    return TrajTF(xs=xs, us=TF(uh, ul))
+
+
+class ForwardTFResult(NamedTuple):
+    traj: TrajTF
+    step: jax.Array
+    accepted: jax.Array
+
+
+def forward_pass_storage_tf(
+    problem, traj_old: TrajTF, k, K, mults: "MultsTF", mu,
+    step_min: float = 1e-10,
+) -> ForwardTFResult:
+    """Backtracking line search with TF trajectories end-to-end
+    (ddp_fwd.ipp:9-67 at the wide scalar)."""
+    dtype = traj_old.xs.hi.dtype
+    cost_old = al_cost_total_storage_tf(problem, traj_old, mults, mu)
+
+    def try_step(step):
+        traj = feedback_rollout_tf(problem, traj_old, k, K, step)
+        cost_new = al_cost_total_storage_tf(problem, traj, mults, mu)
+        delta = tf.to_float(tf.sub(cost_new, cost_old))
+        return traj, delta
+
+    one = jnp.ones((), dtype)
+    traj1, d1 = try_step(one)
+
+    def cond(c):
+        step, accepted, *_ = c
+        return jnp.logical_and(~accepted, step >= 2 * step_min)
+
+    def body(c):
+        step, _, _ = c
+        step = step * 0.5
+        traj, d = try_step(step)
+        return (step, d <= 0, traj)
+
+    step, accepted, traj = jax.lax.while_loop(
+        cond, body, (one, d1 <= 0, traj1)
+    )
+    return ForwardTFResult(traj=traj, step=step, accepted=accepted)
+
+
+def backward_sweep_tf(
+    derivs, mult_val, mult_jac, mu, reg,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+):
     """One Riccati sweep (ddp_bwd.ipp:9-155) carried in double-float.
 
     Inputs are plain-float Derivs (their values are exact by definition);
@@ -215,17 +455,26 @@ def backward_sweep_tf(derivs, mult_val, mult_jac, mu, reg):
     TF pairs, and the Quu⁻¹ solves are float Cholesky + one compensated
     iterative-refinement step (≈ full TF accuracy for well-conditioned Quu).
 
+    The optional ``*_lo`` arrays are the TF residues of eq values and
+    multipliers (TF-storage mode): the μ-amplified terms tmp = p + μ·eq and
+    tmp2 = p_x + μ·eq_x then carry the full pair resolution instead of
+    being floored at eps_f32·‖eq‖.
+
     Returns (k [T,m], K [T,m,n], ok) as plain floats (rounded from TF).
     """
     nu = derivs.lu.shape[1]
     dtype = derivs.lx.dtype
     I_u = jnp.eye(nu, dtype=dtype)
+    z = jnp.zeros_like
+    eq_lo = eq_lo if eq_lo is not None else z(derivs.eq)
+    mult_val_lo = mult_val_lo if mult_val_lo is not None else z(mult_val)
+    mult_jac_lo = mult_jac_lo if mult_jac_lo is not None else z(mult_jac)
 
     inputs = (
         derivs.lx, derivs.lu, derivs.lxx, derivs.lux, derivs.luu,
         derivs.fx, derivs.fu, derivs.fxx, derivs.fux, derivs.fuu,
         derivs.eq, derivs.eqx, derivs.equ, derivs.eqxx, derivs.equx, derivs.equu,
-        mult_val, mult_jac,
+        mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo,
     )  # fmt: skip
 
     def refine(chol, Quu_reg: TF, rhs: TF):
@@ -240,14 +489,18 @@ def backward_sweep_tf(derivs, mult_val, mult_jac, mu, reg):
     def step(carry, inp):
         Vx, Vxx = carry  # TF [n], TF [n,n]
         (lx, lu, lxx, lux, luu, fx, fu, fxx, fux, fuu,
-         eqv, eqx, equ, eqxx, equx, equu, pe, pex) = inp  # fmt: skip
+         eqv, eqx, equ, eqxx, equx, equu, pe, pex,
+         eqv_lo, pe_lo, pex_lo) = inp  # fmt: skip
 
-        tmp = tf.add(_F(pe), _mul_scalar(mu, eqv))  # p + μ·eq
-        tmp2 = tf.add(_F(pex), _mul_scalar(mu, eqx))  # p_x + μ·eq_x
+        eqv_tf = TF(eqv, eqv_lo)
+        pe_tf = TF(pe, pe_lo)
+        pex_tf = TF(pex, pex_lo)
+        tmp = tf.add(pe_tf, tf.mul(_F(mu), eqv_tf))  # p + μ·eq
+        tmp2 = tf.add(pex_tf, _mul_scalar(mu, eqx))  # p_x + μ·eq_x
 
         Qx = tf.add(_F(lx), tf.matvec(_F(fx.T), Vx))
         Qx = tf.add(Qx, tf.matvec(_F(eqx.T), tmp))
-        Qx = tf.add(Qx, tf.matvec(_F(pex.T), _F(eqv)))
+        Qx = tf.add(Qx, tf.matvec(tf.tT(pex_tf), eqv_tf))
 
         Qu = tf.add(_F(lu), tf.matvec(_F(fu.T), Vx))
         Qu = tf.add(Qu, tf.matvec(_F(equ.T), tmp))
@@ -257,7 +510,7 @@ def backward_sweep_tf(derivs, mult_val, mult_jac, mu, reg):
 
         Qxx = tf.add(_F(lxx), tf.matmat(_F(fx.T), Vfx))
         Qxx = tf.add(Qxx, tf.matmat(_F(eqx.T), tmp2))
-        Qxx = tf.add(Qxx, tf.matmat(_F(pex.T), _F(eqx)))
+        Qxx = tf.add(Qxx, tf.matmat(tf.tT(pex_tf), _F(eqx)))
         Qxx = tf.add(Qxx, tf.contract0(tmp, _F(eqxx)))
         Qxx = tf.add(Qxx, tf.contract0(Vx, _F(fxx)))
 
@@ -287,13 +540,20 @@ def backward_sweep_tf(derivs, mult_val, mult_jac, mu, reg):
     return ks, Ks, jnp.all(oks)
 
 
-def backward_pass_tf(derivs, mult_val, mult_jac, mu, reg, max_retries: int = 24):
+def backward_pass_tf(
+    derivs, mult_val, mult_jac, mu, reg, max_retries: int = 24,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+):
     """TF sweep with the reference's failure-escalation loop
     (ddp_bwd.ipp:26, 105-132: reg = max(reg, μ)·2, μ·2, restart).
     Same result contract as riccati.backward_pass."""
     from ddp_tpu.solver.riccati import BackwardResult
 
-    ks0, Ks0, ok0 = backward_sweep_tf(derivs, mult_val, mult_jac, mu, reg)
+    sweep = lambda m_, r_: backward_sweep_tf(
+        derivs, mult_val, mult_jac, m_, r_,
+        eq_lo=eq_lo, mult_val_lo=mult_val_lo, mult_jac_lo=mult_jac_lo,
+    )
+    ks0, Ks0, ok0 = sweep(mu, reg)
 
     def cond(c):
         it, ok, *_ = c
@@ -303,7 +563,7 @@ def backward_pass_tf(derivs, mult_val, mult_jac, mu, reg, max_retries: int = 24)
         it, _, mu_, reg_, _, _ = c
         reg_ = jnp.maximum(reg_, mu_) * 2.0
         mu_ = mu_ * 2.0
-        ks, Ks, ok = backward_sweep_tf(derivs, mult_val, mult_jac, mu_, reg_)
+        ks, Ks, ok = sweep(mu_, reg_)
         return (it + 1, ok, mu_, reg_, ks, Ks)
 
     it, ok, mu, reg, ks, Ks = jax.lax.while_loop(

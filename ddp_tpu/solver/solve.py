@@ -83,6 +83,16 @@ class SolverParams(NamedTuple):
     n: float | None = None
     w_min: float | None = None
     inner_iters_max: int | None = None
+    # Penalty escalation on update_failure.  The reference hard-codes μ·10
+    # unbounded (ddp.hpp:790-792) — safe under MPFR and with its
+    # converge-the-inner-problem gate, but with a bounded inner loop
+    # (inner_iters_max small) a slow-feasibility workload alternates
+    # success/failure and the unbounded ×10 races μ past the stiffness the
+    # line search can absorb (measured: 7-DoF spatial_eq lanes stall at
+    # ‖eq‖~0.1 with μ→1e15 and step→1e-2).  mu_factor softens the growth;
+    # mu_max caps it (classic bounded-penalty AL practice).
+    mu_factor: float = 10.0
+    mu_max: float | None = None
 
 
 class SolveStats(NamedTuple):
@@ -134,7 +144,7 @@ def solve(
     x_init: jax.Array,
     us_init: jax.Array | None = None,
     method: Method = Method.PRIMAL_DUAL_AFFINE,
-    precise: bool = False,
+    precise: bool | str = False,
     mults_init_jac: jax.Array | None = None,
     history: bool = False,
     matmul_precision: str | None = None,
@@ -146,6 +156,16 @@ def solve(
     instantiating the reference at MPFR scalars (test/pendulum_ddp.cpp:15-17)
     — same algorithm, wider accumulators, still f32 storage and Pallas/VPU
     ops.
+
+    ``precise="storage"`` additionally stores the ITERATE (xs, us) as
+    double-float pairs and evaluates the dynamics, constraint values, and
+    line-search costs in TF (rollout_tf / eq_values_tf /
+    forward_pass_storage_tf) — removing the f32 storage floor
+    (docs/DESIGN.md) that caps the envelope mode.  Requires a vector-space
+    model with ``forward_dynamics_tf`` and TF-capable constraint/cost
+    (models/pendulum.py, ConfigTarget/StateTarget/AdvanceTime,
+    QuadControlCost).  This is the full-stack analog of the reference's
+    whole-program MPFR instantiation.
 
     ``history=True`` records per-iteration solver state (SolveHistory — the
     reference's μ/reg/w/n/step/‖eq‖ stdout block and primal/dual trace
@@ -192,8 +212,28 @@ def solve(
             val(us_init.shape, "us_init.shape") == (T, nu),
             msg="warm-start shape",
         )
-    xs = problem.rollout(x_init, us_init)
-    us = us_init
+    storage = precise == "storage"
+    if storage:
+        from ddp_tpu.solver import precise as precise_mod
+        from ddp_tpu.ops.twofloat import TF
+
+        if not precise_mod.supports_tf_storage(problem):
+            raise ValueError(
+                "precise='storage' needs a vector-space model with "
+                "forward_dynamics_tf and TF-capable constraint/cost "
+                "(see solver/precise.py supports_tf_storage)"
+            )
+        zf = jnp.zeros_like
+        xs_tf = precise_mod.rollout_tf(
+            problem, TF(x_init, zf(x_init)), TF(us_init, zf(us_init))
+        )
+        xs, xs_lo = xs_tf.hi, xs_tf.lo
+        us, us_lo = us_init, zf(us_init)
+    else:
+        xs = problem.rollout(x_init, us_init)
+        us = us_init
+        xs_lo = jnp.zeros_like(xs)
+        us_lo = jnp.zeros_like(us)
 
     mu = jnp.asarray(params.mu, dtype)
     reg = jnp.asarray(params.reg, dtype)
@@ -216,13 +256,29 @@ def solve(
     if precise:
         from ddp_tpu.solver import precise as precise_mod
 
-        bwd = precise_mod.backward_pass_tf
+        bwd = precise_mod.backward_pass_tf  # accepts *_lo kwargs
         opt_obj_fn = precise_mod.optimality_obj_tf
         opt_lag_fn = precise_mod.optimality_lag_tf
     else:
-        bwd = backward_pass
-        opt_obj_fn = al_mod.optimality_obj
-        opt_lag_fn = al_mod.optimality_lag
+        bwd = lambda d, mv, mj, mu_, reg_, **kw: backward_pass(
+            d, mv, mj, mu_, reg_
+        )
+        opt_obj_fn = lambda p, d, mv, mj, mu_, **kw: al_mod.optimality_obj(
+            p, d, mv, mj, mu_
+        )
+        opt_lag_fn = lambda p, d, mv, mj, **kw: al_mod.optimality_lag(
+            p, d, mv, mj
+        )
+
+    def derivs_with_eq_tf(derivs, xs_hi, xs_lo, us_hi, us_lo):
+        """Storage mode: re-evaluate eq values in TF on the TF trajectory;
+        Jacobians/Hessians stay hi-evaluated (they multiply deltas)."""
+        from ddp_tpu.ops.twofloat import TF as _TF
+
+        eq_tf = precise_mod.eq_values_tf(
+            problem, _TF(xs_hi, xs_lo), _TF(us_hi, us_lo)
+        )
+        return derivs._replace(eq=eq_tf.hi), eq_tf.lo
 
     def constrain_jac(jac):
         # constant-multiplier methods never grow a state-feedback term
@@ -232,16 +288,39 @@ def solve(
 
     # --- pre-loop: derivatives → backward → forward (ddp.hpp:768-773) ---
     derivs = problem.derivatives(xs, us)
-    bres = bwd(derivs, mults.val, mults.jac, mu, reg)
+    eq_lo = None
+    if storage:
+        derivs, eq_lo = derivs_with_eq_tf(derivs, xs, xs_lo, us, us_lo)
+    bres = bwd(derivs, mults.val, mults.jac, mu, reg, eq_lo=eq_lo)
     mu = bres.mu
-    fwd = forward_pass(problem, xs, us, bres.k, bres.K, mults, mu, precise=precise)
+    if storage:
+        from ddp_tpu.ops.twofloat import TF
+
+        ftf = precise_mod.forward_pass_storage_tf(
+            problem,
+            precise_mod.TrajTF(TF(xs, xs_lo), TF(us, us_lo)),
+            bres.k, bres.K,
+            precise_mod.MultsTF.from_plain(mults),
+            mu,
+        )
+        fwd_xs, fwd_xs_lo = ftf.traj.xs.hi, ftf.traj.xs.lo
+        fwd_us, fwd_us_lo = ftf.traj.us.hi, ftf.traj.us.lo
+        fwd_step = ftf.step
+    else:
+        fwd = forward_pass(
+            problem, xs, us, bres.k, bres.K, mults, mu, precise=precise
+        )
+        fwd_xs, fwd_us, fwd_step = fwd.xs, fwd.us, fwd.step
+        fwd_xs_lo = jnp.zeros_like(fwd_xs)
+        fwd_us_lo = jnp.zeros_like(fwd_us)
     fb_val, fb_jac, fb_origin = bres.k, bres.K, xs[:-1]
     if not reference_schedule:
         # the reference never swaps the pre-loop forward's trajectory in
         # (ddp.hpp:773 writes new_traj; the loop's update_derivatives reads
         # traj and iteration 0's forward overwrites new_traj) — keeping it
         # is our (documented) improvement; reference mode discards it
-        xs, us = fwd.xs, fwd.us
+        xs, us = fwd_xs, fwd_us
+        xs_lo, us_lo = fwd_xs_lo, fwd_us_lo
 
     class Carry(NamedTuple):
         it: jax.Array
@@ -253,6 +332,9 @@ def solve(
         m_lo_jac: jax.Array  # [T, ne, ndx] … of mults.jac (precise=True;
         # zeros otherwise — the two accumulating multiplier recurrences
         # (update_origin, p += μ·eq) carry their f32 round-off here)
+        xs_lo: jax.Array  # [T+1, nx] TF residue of xs (precise="storage")
+        us_lo: jax.Array  # [T, nu]  … of us
+        m_lo_origin: jax.Array  # [T, nx] … of mults.origin
         fb_val: jax.Array
         fb_jac: jax.Array
         fb_origin: jax.Array
@@ -274,16 +356,30 @@ def solve(
     def body(c: Carry) -> tuple[Carry, SolveHistory]:
         # --- update_derivatives (ddp.hpp:641-696) ---
         derivs = problem.derivatives(c.xs, c.us)
+        if storage:
+            derivs, eq_lo = derivs_with_eq_tf(
+                derivs, c.xs, c.xs_lo, c.us, c.us_lo
+            )
+        else:
+            eq_lo = None
         if precise:
+            from ddp_tpu.ops.twofloat import TF as _TF
+
+            xs_arg = _TF(c.xs, c.xs_lo) if storage else c.xs
             m_tf = precise_mod.update_origin_tf(
                 model,
-                precise_mod.MultsTF(c.mults, c.m_lo_val, c.m_lo_jac),
-                c.xs,
+                precise_mod.MultsTF(
+                    c.mults, c.m_lo_val, c.m_lo_jac, c.m_lo_origin
+                ),
+                xs_arg,
             )
-            mults, m_lo_val, m_lo_jac = m_tf.hi, m_tf.lo_val, m_tf.lo_jac
+            mults, m_lo_val, m_lo_jac, m_lo_origin = (
+                m_tf.hi, m_tf.lo_val, m_tf.lo_jac, m_tf.lo_origin,
+            )
         else:
             mults = al_mod.update_origin(model, c.mults, c.xs)
             m_lo_val, m_lo_jac = c.m_lo_val, c.m_lo_jac
+            m_lo_origin = c.m_lo_origin
         mults = mults._replace(jac=constrain_jac(mults.jac))
         m_lo_jac = constrain_jac(m_lo_jac)
         fbm = al_mod.update_origin(
@@ -292,13 +388,16 @@ def solve(
             c.xs,
         )
 
-        opt_obj = opt_obj_fn(problem, derivs, mults.val, mults.jac, c.mu)
+        lo_kw = dict(
+            eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac
+        ) if storage else {}
+        opt_obj = opt_obj_fn(problem, derivs, mults.val, mults.jac, c.mu, **lo_kw)
         opt_constr = al_mod.optimality_constr(derivs)
         # Stopping uses the μ-free Lagrangian stationarity measure
         # (optimality_lag, ddp.hpp:525-573): the reference's opt_obj carries
         # μ·eqᵀeq_u terms whose float floor is μ·eps — unusable as a
         # convergence test once μ has escalated past 1/eps.
-        opt_lag = opt_lag_fn(problem, derivs, mults.val, mults.jac)
+        opt_lag = opt_lag_fn(problem, derivs, mults.val, mults.jac, **lo_kw)
 
         if reference_schedule:
             # reference stopping rule (ddp.hpp:673-675) and raw gate
@@ -334,10 +433,16 @@ def solve(
             else jnp.einsum("tou,tuj->toj", derivs.equ, fbm.jac)
         )
         if precise:
+            if storage:
+                from ddp_tpu.ops import twofloat as _tf
+
+                val_inc = _tf.add(_tf.TF(derivs.eq, eq_lo), _tf.from_float(fb_term))
+            else:
+                val_inc = derivs.eq + fb_term
             m_tf = precise_mod.mult_update_tf(
-                precise_mod.MultsTF(mults, m_lo_val, m_lo_jac),
+                precise_mod.MultsTF(mults, m_lo_val, m_lo_jac, m_lo_origin),
                 gain,
-                derivs.eq + fb_term,
+                val_inc,
                 derivs.eqx + fb_term_jac,
             )
             mults, m_lo_val, m_lo_jac = m_tf.hi, m_tf.lo_val, m_tf.lo_jac
@@ -355,12 +460,19 @@ def solve(
         # LANCELOT-style multiplicative tightening instead, floored at the
         # stopping threshold; behavior coincides with the reference when
         # precision is not the binding constraint.
-        mu_new = jnp.where(upd_failure, c.mu * 10.0, c.mu)
+        mu_new = jnp.where(upd_failure, c.mu * params.mu_factor, c.mu)
+        if params.mu_max is not None:
+            mu_new = jnp.minimum(mu_new, jnp.asarray(params.mu_max, dtype))
         if reference_schedule:
             # exact ddp.hpp:787-797: on success n = opt_obj recomputed with
             # the *updated* multipliers / μ^0.1 and w /= μ; on failure only
             # μ·10 fires (n, w untouched)
-            opt_obj2 = opt_obj_fn(problem, derivs, mults.val, mults.jac, c.mu)
+            lo_kw2 = dict(
+                eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac
+            ) if storage else {}
+            opt_obj2 = opt_obj_fn(
+                problem, derivs, mults.val, mults.jac, c.mu, **lo_kw2
+            )
             n_new = jnp.where(upd_success, opt_obj2 / c.mu**0.1, c.n)
             w_new = jnp.where(upd_success, c.w / c.mu, c.w)
         else:
@@ -372,12 +484,36 @@ def solve(
             w_new = jnp.where(upd_success, c.w / c.mu, c.w)
 
         # --- backward / forward (ddp.hpp:804-826) ---
-        bres = bwd(derivs, mults.val, mults.jac, mu_new, c.reg)
-        fwd = forward_pass(
-            problem, c.xs, c.us, bres.k, bres.K, mults, bres.mu, precise=precise
+        bres = bwd(
+            derivs, mults.val, mults.jac, mu_new, c.reg,
+            **(dict(
+                eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac
+            ) if storage else {}),
         )
+        if storage:
+            from ddp_tpu.ops.twofloat import TF as _TF
+
+            ftf = precise_mod.forward_pass_storage_tf(
+                problem,
+                precise_mod.TrajTF(
+                    _TF(c.xs, c.xs_lo), _TF(c.us, c.us_lo)
+                ),
+                bres.k, bres.K,
+                precise_mod.MultsTF(mults, m_lo_val, m_lo_jac, m_lo_origin),
+                bres.mu,
+            )
+            fwd_xs, fwd_xs_lo = ftf.traj.xs.hi, ftf.traj.xs.lo
+            fwd_us, fwd_us_lo = ftf.traj.us.hi, ftf.traj.us.lo
+            fwd_step = ftf.step
+        else:
+            fwd = forward_pass(
+                problem, c.xs, c.us, bres.k, bres.K, mults, bres.mu,
+                precise=precise,
+            )
+            fwd_xs, fwd_us, fwd_step = fwd.xs, fwd.us, fwd.step
+            fwd_xs_lo, fwd_us_lo = c.xs_lo, c.us_lo
         reg = jnp.where(
-            fwd.step >= 0.5,
+            fwd_step >= 0.5,
             jnp.where(bres.reg / 2 < 1e-5, jnp.zeros_like(bres.reg), bres.reg / 2),
             bres.reg,
         )
@@ -388,7 +524,7 @@ def solve(
             reg=keep(c.reg, reg),
             w=keep(c.w, w_new),
             n=keep(c.n, n_new),
-            step=keep(c.step, fwd.step),
+            step=keep(c.step, fwd_step),
             opt_obj=opt_obj,
             opt_lag=opt_lag,
             opt_constr=opt_constr,
@@ -399,11 +535,14 @@ def solve(
         new_c = Carry(
             it=jnp.where(c.done, c.it, c.it + 1),
             done=done,
-            xs=keep(c.xs, fwd.xs),
-            us=keep(c.us, fwd.us),
+            xs=keep(c.xs, fwd_xs),
+            us=keep(c.us, fwd_us),
             mults=jax.tree.map(keep, c.mults, mults),
             m_lo_val=keep(c.m_lo_val, m_lo_val),
             m_lo_jac=keep(c.m_lo_jac, m_lo_jac),
+            xs_lo=keep(c.xs_lo, fwd_xs_lo),
+            us_lo=keep(c.us_lo, fwd_us_lo),
+            m_lo_origin=keep(c.m_lo_origin, m_lo_origin),
             fb_val=keep(c.fb_val, bres.k),
             fb_jac=keep(c.fb_jac, bres.K),
             fb_origin=keep(c.fb_origin, c.xs[:-1]),
@@ -413,7 +552,7 @@ def solve(
             n=keep(c.n, n_new),
             opt_lag=opt_lag,
             opt_constr=opt_constr,
-            step=keep(c.step, fwd.step),
+            step=keep(c.step, fwd_step),
             opt_obj_prev=opt_obj,
             just_changed=jnp.logical_or(upd_success, upd_failure),
             inner=jnp.where(
@@ -432,6 +571,9 @@ def solve(
         mults=mults,
         m_lo_val=jnp.zeros_like(mults.val),
         m_lo_jac=jnp.zeros_like(mults.jac),
+        xs_lo=xs_lo,
+        us_lo=us_lo,
+        m_lo_origin=jnp.zeros_like(mults.origin),
         fb_val=fb_val,
         fb_jac=fb_jac,
         fb_origin=fb_origin,
@@ -441,7 +583,7 @@ def solve(
         n=n,
         opt_lag=jnp.asarray(jnp.inf, dtype),
         opt_constr=jnp.asarray(jnp.inf, dtype),
-        step=fwd.step,
+        step=fwd_step,
         opt_obj_prev=jnp.asarray(jnp.inf, dtype),
         just_changed=jnp.asarray(True),
         inner=jnp.asarray(1, jnp.int32),  # the pre-loop bwd/fwd already ran

@@ -211,11 +211,41 @@ def test_analytic_euler_jacobians_match_generic_arm():
             err_msg=f"fu mismatch at t={t}")
 
 
-def test_quaternion_models_keep_generic_path():
-    """The analytic gate must stay closed for quaternion-manifold models
-    (coordinate ∂/∂q ≠ tangent ∂/∂q there)."""
+@pytest.mark.parametrize("which", ["quadrotor", "all_joints"])
+def test_analytic_euler_jacobians_match_generic_manifold(which):
+    """Quaternion/SO(2)-manifold models take the analytic fast path too
+    (round-4): fd_derivatives' coordinate ∂a/∂q chained through the chart
+    (Q = ∂integrate/∂δ) plus the group-transport q-row must equal jacfwd
+    over the whole Euler step in tangent coordinates — ≙ the reference's
+    d_integrate ∘ computeABADerivatives chain for freeflyer/spherical/
+    planar joints (problem.hpp:463-503, pinocchio_model.ipp:222-321,
+    359-400)."""
+    from ddp_tpu.models.rigid_body import all_joints_test_model
     from ddp_tpu.models.robots import quadrotor
 
-    quad = quadrotor(dtype=jnp.float64)
-    dyn = dynamics.euler(quad, DT)
-    assert not dyn.analytic_jacobians_ok
+    model = quadrotor(dtype=jnp.float64) if which == "quadrotor" else (
+        all_joints_test_model(dtype=jnp.float64)
+    )
+    dyn = dynamics.euler(model, DT)
+    assert dyn.analytic_jacobians_ok
+
+    key = jax.random.key(3)
+    kq, kv, ku = jax.random.split(key, 3)
+    q = model.random_configuration(kq)
+    v = 0.3 * jax.random.normal(kv, (model.nv,), dtype=jnp.float64)
+    u = 0.2 * jax.random.normal(ku, (model.nu,), dtype=jnp.float64)
+    x = jnp.concatenate([q, v])
+    t0 = jnp.asarray(0)
+
+    x1, fx, fu = dyn.jacobians(t0, x, u)
+    np.testing.assert_allclose(
+        np.asarray(x1), np.asarray(dyn(t0, x, u)), atol=1e-12
+    )
+    ndx = 2 * model.nv
+    fx_ref = jax.jacfwd(lambda dx: state_difference(
+        model, dyn(t0, x, u),
+        dyn(t0, state_integrate(model, x, dx), u)))(jnp.zeros(ndx))
+    fu_ref = jax.jacfwd(lambda du: state_difference(
+        model, dyn(t0, x, u), dyn(t0, x, u + du)))(jnp.zeros(model.nu))
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fx_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref), atol=1e-9)

@@ -115,3 +115,30 @@ def test_sqrt_zero_and_dtype_guard():
 
     with pytest.raises(TypeError):
         tf.two_prod(jnp.asarray(1.0, jnp.bfloat16), jnp.asarray(1.0, jnp.bfloat16))
+
+
+def test_sincos_tf_accuracy():
+    """TF sin/cos (range-reduced Taylor, ops/twofloat.py) reach well below
+    f32 working precision on f32 pairs — the precision the TF-storage
+    dynamics (models/pendulum.py forward_dynamics_tf) inherits."""
+    xs64 = np.array([0.0, 0.3, 1.2, 3.14, -2.9, 7.7, -15.3, 3.14159265])
+    x_hi = xs64.astype(np.float32)
+    x_lo = (xs64 - x_hi.astype(np.float64)).astype(np.float32)
+    s, c = tf.sincos(tf.TF(jnp.asarray(x_hi), jnp.asarray(x_lo)))
+    s_val = np.asarray(s.hi, np.float64) + np.asarray(s.lo, np.float64)
+    c_val = np.asarray(c.hi, np.float64) + np.asarray(c.lo, np.float64)
+    # measured ~1e-15; f32 working precision is ~6e-8
+    np.testing.assert_allclose(s_val, np.sin(xs64), atol=5e-14, rtol=0)
+    np.testing.assert_allclose(c_val, np.cos(xs64), atol=5e-14, rtol=0)
+
+
+def test_sincos_tf_f64_pairs():
+    """f64-pair mode degrades gracefully to ~f64 accuracy (module note)."""
+    xs = jnp.asarray([0.4, -2.2, 9.9], jnp.float64)
+    s, c = tf.sincos(tf.from_float(xs))
+    np.testing.assert_allclose(
+        np.asarray(tf.to_float(s)), np.sin(np.asarray(xs)), atol=1e-15
+    )
+    np.testing.assert_allclose(
+        np.asarray(tf.to_float(c)), np.cos(np.asarray(xs)), atol=1e-15
+    )
