@@ -318,3 +318,19 @@ def test_storage_mode_requires_tf_support():
     x0 = base.state_pack(arm.neutral_configuration(), jnp.zeros(6, jnp.float32))
     with pytest.raises(ValueError, match="storage"):
         solve(problem, params, x0, precise="storage")
+
+
+def test_storage_mode_vmaps():
+    """precise="storage" composes with vmap (the primary TPU scaling axis):
+    TF pairs are ordinary pytree leaves, so the batched solve carries
+    [B, ...] hi/lo arrays."""
+    problem = make_problem(horizon=30, dtype=jnp.float32)
+    params = SolverParams(max_iterations=12, threshold=1e-7, mu=1e5)
+    x0s = jnp.asarray(
+        np.stack([np.linspace(-0.3, 0.3, 4), np.zeros(4)], axis=1), jnp.float32
+    )
+    res = jax.jit(
+        jax.vmap(lambda x: solve(problem, params, x, precise="storage"))
+    )(x0s)
+    assert np.isfinite(np.asarray(res.stats.opt_lag)).all()
+    assert (np.asarray(res.stats.opt_constr) < 1e-3).all()
