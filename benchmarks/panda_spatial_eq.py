@@ -15,7 +15,10 @@ round-4 notes):
 - ±0.05 rad/rad·s⁻¹ start spread, EE target from a +0.04·k rad offset
   configuration, terminal FrameTarget (e=3) through double AdvanceTime;
 - 24 AL iterations (inner_iters_max=1), 8-candidate early-exit sequential
-  line search: f64 oracle reaches frac_feasible = 1.000 at p99 ‖eq‖ ≈ 1e-4.
+  line search: f64 oracle reaches frac_feasible = 1.000 at p99 ‖eq‖ ≈ 1e-4;
+- matmul_precision="highest": the f32 TPU run needs the bf16x6 passes —
+  "high" leaves a 4.3% infeasible tail (0.957 vs 0.988, panda7_tune rows),
+  the same mechanism as the UR5 feasibility story (docs/DESIGN.md).
 
 The e=3 config-dependent constraint rides the generic JVP derivative path;
 dynamics Jacobians ride the fd-derivatives Pallas kernel (deriv="pallas" —
@@ -94,7 +97,7 @@ def main():
             x,
             us_init=u,
             backward="pallas",
-            matmul_precision="high",
+            matmul_precision="highest",
             n_linesearch=8,
             forward="seq",
             deriv="pallas",
@@ -114,7 +117,7 @@ def main():
     record(
         "panda7_spatial_eq",
         backend="pallas",
-        matmul_precision="high",
+        matmul_precision="highest",
         n_linesearch=8,
         forward="seq",
         deriv="pallas",
