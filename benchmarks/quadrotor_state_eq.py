@@ -8,11 +8,15 @@ one-kinematics-pass + one-Cholesky path instead of pushing 2·ndx+nu JVP
 columns through RNEA (≙ the reference's analytic freeflyer coverage,
 pinocchio_model.ipp:222-321, 359-400).
 
-Workload: B lanes of hover-to-displaced-hover (translation + yaw), terminal
-StateTarget (ne = 12) through a double AdvanceTime, GN mode, the production
-solver levers that apply to manifold models (Pallas backward, seq ladder,
-matmul_precision high).  Records both the analytic-deriv row and a
-generic-JVP control row (same seed) to pin the fast-path speedup.
+Workload (f64 CPU study, round-4): hover-to-displaced-hover (0.54 m
+translation + 0.2 rad yaw over 0.64 s), terminal StateTarget (ne = 12)
+through a double AdvanceTime, gravity-compensation warm start, ±0.05
+tangent start spread.  The rank-6-control vs rank-12-constraint terminal
+needs the AL multipliers built up patiently: inner_iters_max=3 with 36
+iterations reaches frac_feasible = 0.984 at p99 ‖eq‖ = 7.9e-3 in f64
+(inner=1 stalls at ~0.7 and is non-monotone in the budget — the premature
+multiplier-update mechanism, docs/DESIGN.md).  Records both the
+analytic-deriv row and a generic-JVP control row (same seed).
 
 Run SOLO (the tunnel serializes TPU clients).
 """
@@ -30,8 +34,8 @@ import numpy as np
 
 setup_cache()
 
-B, H = 512, 16
-ITERS = 8
+B, H = 512, 32
+ITERS = 36
 
 
 def main():
@@ -46,9 +50,9 @@ def main():
     quad = quadrotor(dtype=dtype)
     dyn = dynamics.euler(quad, 0.02)
     q0 = quad.neutral_configuration()
-    # target: translate (0.5, -0.3, 0.8) and yaw 0.4 rad from hover
+    # target: translate (0.3, -0.2, 0.4) m and yaw 0.2 rad from hover
     q_goal = quad.integrate(
-        q0, jnp.asarray([0.5, -0.3, 0.8, 0.0, 0.0, 0.4], dtype)
+        q0, jnp.asarray([0.3, -0.2, 0.4, 0.0, 0.0, 0.2], dtype)
     )
     x_goal = base.state_pack(q_goal, jnp.zeros(quad.nv, dtype))
 
@@ -67,16 +71,19 @@ def main():
         )
 
     params = SolverParams(
-        max_iterations=ITERS, threshold=1e-5, mu=1e4, inner_iters_max=1
+        max_iterations=ITERS, threshold=1e-5, mu=1e4, inner_iters_max=3
     )
 
     rng = np.random.default_rng(0)
     x0 = base.state_pack(q0, jnp.zeros(quad.nv, dtype))
     # perturb in the tangent space then retract (keeps quaternions unit)
-    dxs = 0.1 * rng.standard_normal((B, 2 * quad.nv)).astype(np.float32)
+    dxs = 0.05 * rng.standard_normal((B, 2 * quad.nv)).astype(np.float32)
     x0s = jax.vmap(lambda d: base.state_integrate(quad, x0, d))(
         jnp.asarray(dxs, dtype)
     )
+    zero_v = jnp.zeros(quad.nv, dtype)
+    grav = jax.vmap(lambda x: quad.rnea(x[: quad.nq], zero_v, zero_v))(x0s)
+    us0 = jnp.tile(grav[:, None, :], (1, H, 1))
 
     # generic-JVP control: identical dynamics but with the analytic gate off
     @jax.tree_util.register_dataclass
@@ -92,24 +99,25 @@ def main():
     }
     for name, problem in variants.items():
         fn = jax.jit(
-            lambda x, p=problem: solve_batched(
+            lambda x, u, p=problem: solve_batched(
                 p,
                 params,
                 x,
+                us_init=u,
                 backward="pallas",
-                matmul_precision="high",
-                n_linesearch=4,
+                matmul_precision="highest",
+                n_linesearch=8,
                 forward="seq",
             )
         )
-        r = fn(x0s)
+        r = fn(x0s, us0)
         jax.block_until_ready(r.us)
         frac = float(jnp.mean((r.opt_constr < 1e-2).astype(jnp.float32)))
         p99 = float(jnp.percentile(r.opt_constr, 99))
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            r = fn(x0s)
+            r = fn(x0s, us0)
             jax.block_until_ready(r.us)
             ts.append(time.perf_counter() - t0)
         dt_s = float(np.median(ts))
@@ -117,9 +125,10 @@ def main():
             "quadrotor_state_eq",
             deriv=name,
             backend="pallas",
-            matmul_precision="high",
-            n_linesearch=4,
-            dims="n=13,m=6,e=12(tangent 12)",
+            matmul_precision="highest",
+            n_linesearch=8,
+            dims="n=13,m=6,e=12(tangent)",
+            recipe="grav-comp warm start, inner=3",
             B=B,
             H=H,
             iters=ITERS,

@@ -75,7 +75,7 @@ def batch_sharded_solve_batched(problem, params: SolverParams, mesh: Mesh, **kw)
     b = P("batch")
     res_spec = BatchSolveResult(
         xs=b, us=b, fb_k=b, fb_K=b, opt_constr=b, opt_lag=b, mu=b,
-        mults=al_mod.AffineMults(val=b, jac=b, origin=b), reg=b,
+        mults=al_mod.AffineMults(val=b, jac=b, origin=b), reg=b, w=b, n=b,
     )  # fmt: skip
     shard = jax.shard_map(
         shard_fn,

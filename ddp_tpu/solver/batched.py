@@ -184,22 +184,35 @@ def _pallas_block_plan(
         ) * itemsize
 
     def min_chunk(t):
-        while t > 8 and t % 2 == 0:
+        # chunks may shrink to 1 (one kernel launch per step) — heavy-rows
+        # dims (second-order arm) only fit VMEM that way
+        while t > 1 and t % 2 == 0:
             t //= 2
         return t
 
+    def best_chunk(d):
+        c = T
+        while c > 1 and c % 2 == 0 and est(c, d) > budget:
+            c //= 2
+        return c if est(c, d) <= budget else None
+
     if block_b is None:
-        # divisors of B ≤ 512, preferring lane-aligned multiples of 128
-        # (a non-divisor default would hard-fail below)
-        divisors = [d for d in range(min(B, 512), 0, -1) if B % d == 0]
-        aligned = [d for d in divisors if d % 128 == 0]
-        candidates = aligned + [d for d in divisors if d % 128]
-        block_b = None
-        for d in candidates:
-            if est(min_chunk(T), d) <= budget:
-                block_b = d
-                break
-        if block_b is None:
+        # divisors of B ≤ 512 satisfying Mosaic's lane constraint: the
+        # block's last dim must be a multiple of 128 or span the full batch
+        # (the second-to-last dim always spans the full rows axis).  Among
+        # the feasible (block, chunk) pairs pick the one minimizing kernel
+        # launches (B/d)·(T/chunk); ties → wider lanes.
+        divisors = [
+            d
+            for d in range(min(B, 512), 0, -1)
+            if B % d == 0 and (d % 128 == 0 or d == B)
+        ]
+        plans = []
+        for d in divisors:
+            c = best_chunk(d)
+            if c is not None:
+                plans.append(((B // d) * -(-T // c), -d, d, c))
+        if not plans:
             # nothing fits even at the smallest lane block + deepest time
             # chunk — fail loudly here instead of letting Mosaic OOM far
             # from the cause
@@ -209,10 +222,12 @@ def _pallas_block_plan(
                 f"min time chunk={min_chunk(T)}, itemsize={itemsize}); "
                 "these dims need backward='sweep' or backward='tf'"
             )
+        _, _, block_b, chunk = min(plans)
+        return block_b, chunk
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
     chunk = T
-    while chunk > 8 and chunk % 2 == 0 and est(chunk, block_b) > budget:
+    while chunk > 1 and chunk % 2 == 0 and est(chunk, block_b) > budget:
         chunk //= 2
     return block_b, chunk
 
@@ -709,6 +724,10 @@ def solve_batched(
         )
         val_upd = mults.val + c.mu[:, None, None] * (derivs.eq + fb_term)
         jac_upd = mults.jac + c.mu[:, None, None, None] * (derivs.eqx + fb_term_jac)
+        if params.mult_max is not None:
+            # safeguarded multipliers (see SolverParams.mult_max)
+            val_upd = jnp.clip(val_upd, -params.mult_max, params.mult_max)
+            jac_upd = jnp.clip(jac_upd, -params.mult_max, params.mult_max)
         mults = mults._replace(
             val=_bwhere(upd_s, val_upd, mults.val),
             jac=constrain_jac(_bwhere(upd_s, jac_upd, mults.jac)),

@@ -93,6 +93,12 @@ class SolverParams(NamedTuple):
     # mu_max caps it (classic bounded-penalty AL practice).
     mu_factor: float = 10.0
     mu_max: float | None = None
+    # Safeguarded multipliers (Bertsekas-style bound): clip p elementwise
+    # after each update.  REQUIRED whenever mu_max is finite: with μ capped,
+    # a still-infeasible lane keeps firing p += μ·eq and the multipliers
+    # run away (measured: quadrotor fleet diverges to ‖eq‖ ~ 10 with
+    # mu_max=1e6 and no bound, converges with both).  None → unbounded.
+    mult_max: float | None = None
 
 
 class SolveStats(NamedTuple):
@@ -451,6 +457,10 @@ def solve(
         else:
             new_val = mults.val + gain * (derivs.eq + fb_term)
             new_jac = mults.jac + gain * (derivs.eqx + fb_term_jac)
+            if params.mult_max is not None:
+                # safeguarded multipliers (see SolverParams.mult_max)
+                new_val = jnp.clip(new_val, -params.mult_max, params.mult_max)
+                new_jac = jnp.clip(new_jac, -params.mult_max, params.mult_max)
             mults = mults._replace(val=new_val, jac=constrain_jac(new_jac))
 
         # Tolerance schedule.  The reference tightens n = opt_obj/μ^0.1 and
