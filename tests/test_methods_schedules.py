@@ -172,3 +172,18 @@ def test_in_range_schedule_contains():
     assert [t for t in range(10) if t in p] == [0, 3, 6, 9]
     p2 = constraints.every_k(3, offset=2)
     assert [t for t in range(10) if t in p2] == [2, 5, 8]
+
+
+def test_mu_factor_cap_and_mult_safeguard():
+    """mu_factor/mu_max bound the penalty escalation and mult_max clips the
+    multipliers (round-4 safeguards); the pendulum still converges with all
+    three active, and the caps are respected in the history."""
+    problem = make_problem()
+    params = SolverParams(
+        max_iterations=40, threshold=1e-9, mu=1e4,
+        mu_factor=3.0, mu_max=1e7, mult_max=1e4,
+    )
+    res = solve(problem, params, jnp.zeros(2, jnp.float64), history=True)
+    assert float(res.stats.opt_constr) < 1e-6
+    assert float(jnp.max(res.history.mu)) <= 1e7 + 1e-6
+    assert float(jnp.max(jnp.abs(res.mults.val))) <= 1e4 + 1e-9
