@@ -25,6 +25,12 @@ import numpy as np
 from ddp_tpu.models.base import state_difference, state_integrate
 
 
+def _vector_space(model) -> bool:
+    from ddp_tpu.ocp.dynamics import _vector_space_config
+
+    return _vector_space_config(model)
+
+
 class Derivs(NamedTuple):
     """Struct-of-stacked-arrays derivative storage.
 
@@ -194,16 +200,46 @@ class Problem:
             E = jax.jacfwd(lambda xn: state_difference(model, f_raw, xn))(f_raw)
             fz = E @ fz_raw.T  # [ndx, nz]
             if self.second_order:
+                analytic2 = getattr(
+                    self.dynamics, "analytic_jacobians_ok", False
+                ) and _vector_space(model)
+                if analytic2:
+                    # forward-over-assembled-analytic: differentiate the
+                    # assembled tangent Jacobian (one RNEA-jacfwd + one
+                    # Cholesky per evaluation) instead of pushing nested
+                    # JVPs through the implicit-FD rule — same exact
+                    # Hessian on vector-space configurations (charts are
+                    # translations, so ∂(J at z)/∂z IS the local-map
+                    # Hessian), much shallower graph (the full-DDP arm
+                    # sweep otherwise exceeds the remote compiler budget)
+                    def jac_flat(z):
+                        dx, du = z[:ndx], z[ndx:]
+                        _, fx_, fu_ = self.dynamics.jacobians(
+                            t, state_integrate(model, x, dx), u + du
+                        )
+                        return jnp.concatenate([fx_, fu_], axis=1)
 
-                def g2(z):
-                    dx, du = z[:ndx], z[ndx:]
-                    xp = state_integrate(model, x, dx)
-                    up = u + du
-                    return self.cost.stage(t, xp, up), state_difference(
-                        model, f_raw, self.dynamics(t, xp, up)
-                    )
+                    fzz = jax.jacfwd(jac_flat)(z0)
+                    lzz = jax.jacfwd(
+                        jax.jacfwd(
+                            lambda z: self.cost.stage(
+                                t,
+                                state_integrate(model, x, z[:ndx]),
+                                u + z[ndx:],
+                            )
+                        )
+                    )(z0)
+                else:
 
-                lzz, fzz = jax.jacfwd(jax.jacfwd(g2))(z0)
+                    def g2(z):
+                        dx, du = z[:ndx], z[ndx:]
+                        xp = state_integrate(model, x, dx)
+                        up = u + du
+                        return self.cost.stage(t, xp, up), state_difference(
+                            model, f_raw, self.dynamics(t, xp, up)
+                        )
+
+                    lzz, fzz = jax.jacfwd(jax.jacfwd(g2))(z0)
             else:
                 lzz = jax.jacfwd(
                     jax.jacfwd(

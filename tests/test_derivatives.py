@@ -249,3 +249,54 @@ def test_analytic_euler_jacobians_match_generic_manifold(which):
         model, dyn(t0, x, u), dyn(t0, x, u + du)))(jnp.zeros(model.nu))
     np.testing.assert_allclose(np.asarray(fx), np.asarray(fx_ref), atol=1e-9)
     np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref), atol=1e-9)
+
+
+def test_second_order_analytic_path_matches_generic_arm():
+    """Full-DDP Hessians via forward-over-assembled-analytic (round-4: one
+    jacfwd over dynamics.jacobians instead of nested JVPs through the
+    implicit-FD rule — the arm full-DDP program otherwise exceeds the
+    remote compiler budget) equal the generic jacfwd∘jacfwd to roundoff on
+    vector-space models."""
+    import dataclasses
+
+    from ddp_tpu.models.robots import ur5
+
+    arm = ur5(dtype=jnp.float64)
+    dyn = dynamics.euler(arm, 0.01)
+    H = 3
+    con = constraints.advance_time(
+        constraints.ConfigTarget(
+            model=arm, target=arm.neutral_configuration(), active_ts=(H,)
+        ),
+        dyn,
+        times=2,
+    )
+    cost = costs.quad_control(1.0, dtype=jnp.float64)
+    prob = Problem(
+        dynamics=dyn, cost=cost, constraint=con, horizon=H, second_order=True
+    )
+
+    @jax.tree_util.register_dataclass
+    @dataclasses.dataclass(frozen=True)
+    class GenericEuler(dynamics.EulerDynamics):
+        @property
+        def analytic_jacobians_ok(self):
+            return False
+
+    prob_ref = Problem(
+        dynamics=GenericEuler(model=arm, dt=dyn.dt), cost=cost,
+        constraint=con, horizon=H, second_order=True,
+    )
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(
+        np.concatenate([0.3 * rng.standard_normal(6), 0.2 * rng.standard_normal(6)])
+    )
+    us = jnp.asarray(0.5 * rng.standard_normal((H, 6)))
+    xs = prob.rollout(x0, us)
+    d_fast = prob.derivatives(xs, us)
+    d_ref = prob_ref.derivatives(xs, us)
+    for f in ("fx", "fu", "fxx", "fux", "fuu"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(d_fast, f)), np.asarray(getattr(d_ref, f)),
+            atol=1e-12, err_msg=f,
+        )
