@@ -204,6 +204,72 @@ def _pallas_parity(jax, jnp, problem, params, x0s, n_check=512):
     return out
 
 
+def _t200_row(jax, jnp, budget_s: int = 420):
+    """Reference-horizon batched row (test/pendulum_ddp.cpp:33: T=200):
+    ties the T=32 throughput headline to the reference's functional config.
+    Watchdog-guarded like the MPC block — the headline must print
+    regardless."""
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError(f"T200 row exceeded {budget_s}s watchdog")
+
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(budget_s)
+    try:
+        from ddp_tpu.models.pendulum import pendulum
+        from ddp_tpu.ocp import constraints, costs, dynamics
+        from ddp_tpu.ocp.problem import Problem
+        from ddp_tpu.solver.batched import solve_batched
+        from ddp_tpu.solver.solve import SolverParams
+
+        dtype = jnp.float32
+        model = pendulum(1.0, 1.0, dtype=dtype)
+        dyn = dynamics.euler(model, 0.01)
+        H = 200
+        con = constraints.advance_time(
+            constraints.ConfigTarget(
+                model=model, target=jnp.asarray([3.14], dtype), active_ts=(H,)
+            ),
+            dyn,
+            times=2,
+        )
+        problem = Problem(
+            dynamics=dyn, cost=costs.quad_control(1.0, dtype=dtype),
+            constraint=con, horizon=H, second_order=False,
+        )
+        params = SolverParams(
+            max_iterations=ITERS, threshold=1e-5, mu=1e4, inner_iters_max=1
+        )
+        rng = np.random.default_rng(0)
+        x0s = jnp.asarray(
+            np.stack([rng.uniform(-np.pi, np.pi, BATCH), np.zeros(BATCH)], axis=1),
+            dtype,
+        )
+        fn = jax.jit(
+            lambda x: solve_batched(
+                problem, params, x, backward="pallas", n_reg_levels=1,
+                n_linesearch=N_LINESEARCH, unroll=UNROLL, forward="seq",
+            )  # fmt: skip
+        )
+        r = fn(x0s)
+        jax.block_until_ready(r.us)
+        frac = float(jnp.mean((r.opt_constr < 1e-2).astype(jnp.float32)))
+        n_rep = 5
+        t0 = time.perf_counter()
+        outs = [fn(x0s) for _ in range(n_rep)]
+        jax.block_until_ready(outs[-1].us)
+        dt = (time.perf_counter() - t0) / n_rep
+        return {
+            "solves_per_s": round(BATCH / dt, 1),
+            "frac_feasible_1e-2": round(frac, 4),
+            "vs_10k_target": round(BATCH / dt / 10_000.0, 2),
+        }
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -309,6 +375,11 @@ def main() -> None:
             row["pallas_parity"] = _pallas_parity(jax, jnp, problem, params, x0s)
         except Exception as exc:  # noqa: BLE001 — headline must print regardless
             row["pallas_parity"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    # Reference-horizon row (T=200, the functional pendulum config)
+    try:
+        row["pendulum_T200"] = _t200_row(jax, jnp)
+    except Exception as exc:  # noqa: BLE001 — headline must print regardless
+        row["pendulum_T200"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     # Second BASELINE metric (north_star: "arm MPC latency p50/p99 <10 ms"):
     # UR5 replan device time from a jax.profiler trace — each "XLA Modules"
     # event on the TPU plane is one on-device execution of the jitted replan
