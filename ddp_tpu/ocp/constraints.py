@@ -185,6 +185,16 @@ class AdvanceTime:
     pendulum/UR5 drivers (test/pendulum_ddp.cpp:52).  Derivatives come from
     jacfwd through the composition — the reference's hand-rolled product rule
     (problem.hpp:569-605) is unnecessary.
+
+    Modeling gotcha (faithful to the reference): a doubly-advanced terminal
+    constraint pins the same-u PREDICTION f(f(x_{T-2}, u), u), while the
+    realized rollout applies u_{T-1} in its last step — and u_{T-1} enters
+    no constraint, so the control cost drives it to ~0.  On slow problems
+    the two coincide; on aggressive tasks (quadrotor braking hard at the
+    terminal) the realized x_T keeps the difference M⁻¹(u_{T-2}-u_{T-1})·dt
+    (tests/test_model_zoo.py::test_quadrotor_constrained_solve_end_to_end
+    demonstrates it).  If the realized terminal state matters, constrain
+    x_{T-1} with a single advance, or add a terminal state cost.
     """
 
     inner: object

@@ -93,3 +93,24 @@ def test_solve_batched_deriv_pallas_matches_jvp():
     np.testing.assert_allclose(
         np.asarray(r_pal.opt_constr), np.asarray(r_jvp.opt_constr), atol=1e-9
     )
+
+
+def test_spec_cache_bounded_lru():
+    """The fd-kernel model-spec cache is a bounded LRU (ADVICE r3): distinct
+    model-constant patterns evict the oldest entry past the cap instead of
+    growing without bound."""
+    from ddp_tpu.kernels import fd_derivs as fd
+
+    fd._SPEC_CACHE.clear()
+    cap = fd._SPEC_CACHE_MAX
+    for i in range(cap + 3):
+        fd._spec_cache_put(("key", i), {"spec": i})
+    assert len(fd._SPEC_CACHE) == cap
+    assert ("key", 0) not in fd._SPEC_CACHE  # oldest evicted
+    assert ("key", cap + 2) in fd._SPEC_CACHE
+    # hit refreshes LRU order: touching the oldest survivor keeps it alive
+    oldest = next(iter(fd._SPEC_CACHE))
+    fd._spec_cache_put(oldest, fd._SPEC_CACHE[oldest])
+    fd._spec_cache_put(("key", 999), {"spec": 999})
+    assert oldest in fd._SPEC_CACHE
+    fd._SPEC_CACHE.clear()

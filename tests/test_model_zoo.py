@@ -182,3 +182,52 @@ def test_pendulum_bf16_batched_solve():
     assert np.isfinite(np.asarray(res.us, np.float32)).all()
     # bf16 resolution near pi is ~0.0078; accept an order above it
     assert (oc < 0.1).all(), oc
+
+
+def test_quadrotor_constrained_solve_end_to_end():
+    """Freeflyer (quaternion) StateTarget solve through the manifold
+    analytic-Jacobian fast path (round-4): hover → displaced hover with a
+    gravity-compensation warm start reaches the 12-dim terminal constraint.
+    TPU fleet version: benchmarks/quadrotor_state_eq.py (100% feasible at
+    p99 9.9e-4)."""
+    from ddp_tpu.models import base
+    from ddp_tpu.ocp import constraints, costs, dynamics
+    from ddp_tpu.ocp.problem import Problem
+    from ddp_tpu.solver.solve import SolverParams, solve
+
+    quad = quadrotor(dtype=jnp.float64)
+    H = 24
+    dyn = dynamics.euler(quad, 0.02)
+    assert dyn.analytic_jacobians_ok  # manifold fast path active
+    q0 = quad.neutral_configuration()
+    zero_v = jnp.zeros(6, jnp.float64)
+    q_goal = quad.integrate(
+        q0, jnp.asarray([0.3, -0.2, 0.4, 0.0, 0.0, 0.2], jnp.float64)
+    )
+    x_goal = base.state_pack(q_goal, zero_v)
+    con = constraints.advance_time(
+        constraints.StateTarget(model=quad, target=x_goal, active_ts=(H,)),
+        dyn,
+        times=2,
+    )
+    problem = Problem(
+        dynamics=dyn, cost=costs.quad_control(1.0, jnp.float64),
+        constraint=con, horizon=H, second_order=False,
+    )
+    x0 = base.state_pack(q0, zero_v)
+    us0 = jnp.tile(quad.rnea(q0, zero_v, zero_v)[None], (H, 1))
+    params = SolverParams(
+        max_iterations=40, threshold=1e-8, mu=1e4, inner_iters_max=3
+    )
+    res = jax.jit(lambda x: solve(problem, params, x, us_init=us0))(x0)
+    assert float(res.stats.opt_constr) < 1e-3
+    # The constraint pins the SAME-U prediction x̃_H = f(f(x_{H-2}, u), u)
+    # (AdvanceTime's reference semantics, problem.hpp:563-567) — the
+    # realized rollout applies u_{H-1} (cost-only ⇒ ~0) in its last step,
+    # so assert the constraint-consistent prediction, not xs[-1] (a real
+    # modeling gotcha on aggressive tasks; see constraints.AdvanceTime).
+    x_pred = dyn(H - 1, dyn(H - 2, res.xs[H - 2], res.us[H - 2]), res.us[H - 2])
+    np.testing.assert_allclose(
+        np.asarray(x_pred[:3]), np.asarray(q_goal[:3]), atol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(x_pred[7:]), 0.0, atol=1e-3)
