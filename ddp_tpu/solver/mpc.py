@@ -308,7 +308,21 @@ def make_batch_mpc_step(
     )
     x_shard = NamedSharding(mesh, P("batch"))
     carry_shard = jax.tree.map(lambda sp: NamedSharding(mesh, sp), carry_spec)
-    return jax.jit(shard, in_shardings=(x_shard, carry_shard))
+    jitted = jax.jit(shard, in_shardings=(x_shard, carry_shard))
+
+    def step(x, carry):
+        # legacy checkpoints (pre-(w, n) MPCCarry) restore with w=None/n=None;
+        # normalize to zero arrays so shard_fn's jnp.where(w_c > 0, ...)
+        # restores the defaults — mirrors make_mpc_step's _wn_warm (ADVICE r4)
+        if carry.w is None or carry.n is None:
+            z = jnp.zeros_like(carry.mu)
+            carry = carry._replace(
+                w=z if carry.w is None else carry.w,
+                n=z if carry.n is None else carry.n,
+            )
+        return jitted(x, carry)
+
+    return step
 
 
 def init_batch_carry(problem, B: int, dtype=None, x0s: jax.Array | None = None):
