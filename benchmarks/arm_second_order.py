@@ -1,18 +1,18 @@
-"""UR5 full-DDP (second-order) batched TPU row — VERDICT r3 item 5.
+"""UR5 full-DDP (second-order) batched TPU rows at fleet scale — VERDICT r4
+item 1.
 
 The reference always computes the full constraint/dynamics Hessians
-(problem.hpp:989-997); our production arm rows are Gauss-Newton.  This
-records the second_order=True cost on TPU:
+(problem.hpp:989-997).  Round 4's jacfwd-based full-DDP sweep hit the HBM
+wall at B=512 ("Used 44.04G of 15.75G" for one jit(vmap(derivatives)) —
+docs/DESIGN.md "Full-DDP at arm dims"); round 5's fused second-order
+fd-derivatives Pallas kernel (kernels/fd_derivs2.py) pushes the (q, v)
+duals through the kinematic chain once at second order inside VMEM and
+eliminates those intermediates.  Rows recorded:
 
-- derivative sweep: jacfwd∘jacfwd over the shared-primal chart maps
-  (ocp/problem.py per_t) — the fd-derivatives Pallas kernel is GN-only;
-- backward: the Pallas batch-on-lanes kernel WITH the rank-3 contraction
-  terms (kernels/riccati_small.py second_order path).  The VMEM plan
-  shrinks the lane block to fit the 6 extra tensor blocks
-  (n·(n²+mn+m²)+e·(n²+mn+m²) extra rows/step — plan says block 32 at UR5
-  dims vs 256 for GN).
+- second_order=True, deriv='pallas' (the fd2 kernel), backward pallas/sweep
+  at B=512 — the fleet-scale full-DDP row the round-4 verdict asked for;
+- second_order=False GN row with the same seed/budget for the cost ratio.
 
-A GN row with the same seed/budget rides along for the cost ratio.
 Run SOLO (the tunnel serializes TPU clients).
 """
 
@@ -69,12 +69,16 @@ def main():
         np.asarray(x0)[None] + 0.1 * rng.standard_normal((B, 2 * arm.nv)), dtype
     )
 
-    for second, backend in ((True, "pallas"), (True, "sweep"), (False, "pallas")):
+    for second, backend, deriv in (
+        (True, "pallas", "pallas"),
+        (True, "sweep", "pallas"),
+        (False, "pallas", "pallas"),
+    ):
         problem = make(second)
         try:
             fn = jax.jit(
-                lambda x, p=problem, b=backend: solve_batched(
-                    p, params, x, backward=b, matmul_precision="high",
+                lambda x, p=problem, b=backend, d=deriv: solve_batched(
+                    p, params, x, backward=b, deriv=d, matmul_precision="high",
                     n_linesearch=4, forward="seq",
                 )  # fmt: skip
             )
@@ -93,6 +97,7 @@ def main():
                 "arm_second_order",
                 second_order=second,
                 backend=backend,
+                deriv=deriv,
                 matmul_precision="high",
                 n_linesearch=4,
                 forward="seq",
@@ -110,6 +115,7 @@ def main():
                 "arm_second_order",
                 second_order=second,
                 backend=backend,
+                deriv=deriv,
                 B=B,
                 H=H,
                 error=f"{type(e).__name__}: {e}"[:300],

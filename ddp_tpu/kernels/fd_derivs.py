@@ -256,26 +256,22 @@ def _hat_np(a):
 # ---------------------------------------------------------------------------
 
 
-def _fd_kernel(qvu_ref, a_ref, Aq_ref, Av_ref, Mi_ref, *, spec):
+def _chain_M_bias(q, v, spec, *, sin, cos):
+    """The unrolled kinematics → CRBA → RNEA chain over dual-ish values.
+
+    ``q``/``v`` are length-nv lists of any type supporting +, -, * with
+    floats and with each other (plain lane vectors, first-order ``_D``
+    duals, or second-order ``_D2`` duals from kernels/fd_derivs2.py);
+    ``sin``/``cos`` are the matching elementary functions.  Returns
+    (M upper-triangle-filled [nv][nv], bias [nv]) in the same value type.
+    Shared by the first- and second-order fd-derivative kernels."""
     jt = spec["joint_types"]
     par = spec["parents"]
     nb = len(jt)
     nv = nb
-    NC = 2 * nv
 
     def f(x):
         return float(x)
-
-    # ---- seed duals: column i of (q, v) gets tangent float 1.0 ----
-    q, v, tau = [], [], []
-    for i in range(nv):
-        tq = [None] * NC
-        tq[i] = 1.0
-        q.append(_D(qvu_ref[i, :], tuple(tq)))
-        tv = [None] * NC
-        tv[nv + i] = 1.0
-        v.append(_D(qvu_ref[nv + i, :], tuple(tv)))
-        tau.append(qvu_ref[2 * nv + i, :])  # primal only (∂a/∂τ = M⁻¹ free)
 
     # ---- world kinematics (≙ RobotModel._world_quantities) ----
     Rw = [None] * nb  # world rotations, 3×3 of duals
@@ -288,7 +284,7 @@ def _fd_kernel(qvu_ref, a_ref, Aq_ref, Av_ref, Mi_ref, *, spec):
         if jt[i] == "revolute":
             K = _hat_np(ax)
             K2 = K @ K
-            c, s = _dcos(q[i]), _dsin(q[i])
+            c, s = cos(q[i]), sin(q[i])
             omc = 1.0 - c
             # R = I + s·K + (1−c)·K²; joint transform E = Rᵀ
             R = [
@@ -390,6 +386,26 @@ def _fd_kernel(qvu_ref, a_ref, Aq_ref, Av_ref, Mi_ref, *, spec):
                 acc = acc + _dot(Sw[n], fb[b])
         bias.append(acc)
 
+    return M, bias
+
+
+def _fd_kernel(qvu_ref, a_ref, Aq_ref, Av_ref, Mi_ref, *, spec):
+    nv = len(spec["joint_types"])
+    NC = 2 * nv
+
+    # ---- seed duals: column i of (q, v) gets tangent float 1.0 ----
+    q, v, tau = [], [], []
+    for i in range(nv):
+        tq = [None] * NC
+        tq[i] = 1.0
+        q.append(_D(qvu_ref[i, :], tuple(tq)))
+        tv = [None] * NC
+        tv[nv + i] = 1.0
+        v.append(_D(qvu_ref[nv + i, :], tuple(tv)))
+        tau.append(qvu_ref[2 * nv + i, :])  # primal only (∂a/∂τ = M⁻¹ free)
+
+    M, bias = _chain_M_bias(q, v, spec, sin=_dsin, cos=_dcos)
+
     # ---- primal solve: a = M⁻¹ (τ − bias) ----
     zero = qvu_ref[0, :] * 0.0
 
@@ -456,51 +472,58 @@ def _fd_kernel(qvu_ref, a_ref, Aq_ref, Av_ref, Mi_ref, *, spec):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit, static_argnames=("spec_key", "block_b", "interpret", "nv")
-)
-def _fd_call(qvu_t, *, spec_key, nv, block_b, interpret):
-    spec = _SPEC_CACHE[spec_key]
-    N = qvu_t.shape[-1]
-    grid = (N // block_b,)
-    kernel = functools.partial(_fd_kernel, spec=spec)
-    out_shape = [
-        jax.ShapeDtypeStruct((nv, N), qvu_t.dtype),
-        jax.ShapeDtypeStruct((nv * nv, N), qvu_t.dtype),
-        jax.ShapeDtypeStruct((nv * nv, N), qvu_t.dtype),
-        jax.ShapeDtypeStruct((nv * nv, N), qvu_t.dtype),
-    ]
+def _make_fd_call(spec):
+    """Per-spec jitted kernel wrapper.  The callable (and its compile cache)
+    lives in the LRU entry, so evicting a spec drops exactly that spec's jit
+    specializations and nothing else (ADVICE r4 — the previous design held
+    one module-level jit keyed on spec_key and had to clear ALL
+    specializations on any eviction)."""
+    nv = len(spec["joint_types"])
 
-    def bs(rows):
-        return pl.BlockSpec((rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+    def call(qvu_t, *, block_b, interpret):
+        N = qvu_t.shape[-1]
+        grid = (N // block_b,)
+        kernel = functools.partial(_fd_kernel, spec=spec)
+        out_shape = [
+            jax.ShapeDtypeStruct((nv, N), qvu_t.dtype),
+            jax.ShapeDtypeStruct((nv * nv, N), qvu_t.dtype),
+            jax.ShapeDtypeStruct((nv * nv, N), qvu_t.dtype),
+            jax.ShapeDtypeStruct((nv * nv, N), qvu_t.dtype),
+        ]
 
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[bs(3 * nv)],
-        out_specs=[bs(nv), bs(nv * nv), bs(nv * nv), bs(nv * nv)],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(qvu_t)
+        def bs(rows):
+            return pl.BlockSpec(
+                (rows, block_b), lambda i: (0, i), memory_space=pltpu.VMEM
+            )
+
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bs(3 * nv)],
+            out_specs=[bs(nv), bs(nv * nv), bs(nv * nv), bs(nv * nv)],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(qvu_t)
+
+    return call
 
 
-# Bounded LRU keyed on the model-constant byte pattern.  Each distinct key
-# also pins a jit specialization of _fd_call, so eviction clears that cache
-# too — a long-lived process sweeping model parameters recompiles instead of
-# leaking memory/compilations (ADVICE r3).
+# Bounded LRU keyed on the model-constant byte pattern, holding the per-spec
+# jitted callables.  A long-lived process sweeping >32 model specs recompiles
+# evicted specs on return instead of leaking memory/compilations.
 _SPEC_CACHE_MAX = 32
-_SPEC_CACHE: dict = {}  # insertion-ordered; move-to-end on hit
+_SPEC_CACHE: dict = {}  # key -> jitted callable; insertion-ordered LRU
 
 
-def _spec_cache_put(key, spec):
+def _spec_cache_get(key, spec):
     if key in _SPEC_CACHE:
         _SPEC_CACHE[key] = _SPEC_CACHE.pop(key)  # refresh LRU order
-        return
-    if len(_SPEC_CACHE) >= _SPEC_CACHE_MAX:
-        oldest = next(iter(_SPEC_CACHE))
-        del _SPEC_CACHE[oldest]
-        _fd_call.clear_cache()  # drop the evicted key's jit specialization
-    _SPEC_CACHE[key] = spec
+    else:
+        if len(_SPEC_CACHE) >= _SPEC_CACHE_MAX:
+            del _SPEC_CACHE[next(iter(_SPEC_CACHE))]
+        _SPEC_CACHE[key] = _make_fd_call(spec)
+    return _SPEC_CACHE[key]
 
 
 def fd_derivs_pallas(model, q, v, tau, *, block_b=512, interpret=False):
@@ -520,15 +543,13 @@ def fd_derivs_pallas(model, q, v, tau, *, block_b=512, interpret=False):
         spec["gravity"].tobytes(),
         spec["damping"].tobytes(),
     )
-    _spec_cache_put(key, spec)
+    call = _spec_cache_get(key, spec)
     nv = len(spec["joint_types"])
     N = q.shape[0]
     if N % block_b:
         raise ValueError(f"N={N} not a multiple of block_b={block_b}")
     qvu_t = jnp.concatenate([q, v, tau], axis=1).T  # [3·nv, N]
-    a_t, Aq_t, Av_t, Mi_t = _fd_call(
-        qvu_t, spec_key=key, nv=nv, block_b=block_b, interpret=interpret
-    )
+    a_t, Aq_t, Av_t, Mi_t = call(qvu_t, block_b=block_b, interpret=interpret)
     a = a_t.T
     A = Aq_t.T.reshape(N, nv, nv)
     Bv = Av_t.T.reshape(N, nv, nv)

@@ -159,7 +159,7 @@ class Problem:
         mask = self.eq_mask()
         return tuple(int(t) for t in np.nonzero(mask.any(axis=1))[0])
 
-    def derivatives(self, xs, us, fx_fu=None) -> Derivs:
+    def derivatives(self, xs, us, fx_fu=None, f_hess=None) -> Derivs:
         """All first/second-order derivatives along (xs, us).
 
         ≙ problem_t::compute_derivatives (problem.hpp:956-1141), minus the
@@ -254,9 +254,10 @@ class Problem:
         def per_t_analytic(t, x, u):
             # assembled Euler-step Jacobian (dynamics.jacobians): the model's
             # ∂FD blocks from one kinematics pass + one Cholesky — no JVP
-            # columns pushed through the dynamics at all.  Valid because the
-            # gate (analytic_jacobians_ok) guarantees a vector-space
-            # configuration, where the ⊕/⊖ chart corrections are identity.
+            # columns pushed through the dynamics at all.  Valid for every
+            # joint type: dynamics.jacobians itself chains the ⊕/⊖ chart
+            # corrections for manifold (quaternion/SO(2)) configurations, so
+            # fx/fu are already tangent-space Jacobians here.
             def c(z):
                 dx, du = z[:ndx], z[ndx:]
                 return self.cost.stage(
@@ -274,8 +275,14 @@ class Problem:
             self.dynamics, "analytic_jacobians_ok", False
         )
         ts = jnp.arange(T)
-        if fx_fu is not None and self.second_order:
-            raise ValueError("precomputed fx_fu is first-order (GN) only")
+        if fx_fu is not None and self.second_order and f_hess is None:
+            raise ValueError(
+                "precomputed fx_fu without f_hess is first-order (GN) only; "
+                "full-DDP callers must supply the dynamics Hessian tensor "
+                "(e.g. from kernels/fd_derivs2.py)"
+            )
+        if f_hess is not None and fx_fu is None:
+            raise ValueError("f_hess requires matching fx_fu")
         if fx_fu is not None and not getattr(
             self.dynamics, "analytic_jacobians_ok", False
         ):
@@ -290,13 +297,15 @@ class Problem:
                 "fx/fu); other models need the generic JVP path"
             )
         if fx_fu is not None:
-            # dynamics Jacobians precomputed by the caller (e.g. the batched
-            # Pallas fd-derivatives kernel, kernels/fd_derivs.py, which
-            # fuses the whole kinematic chain for all B·T samples in VMEM);
-            # only cost derivatives remain per timestep
+            # dynamics Jacobians (and, for full DDP, the Hessian tensor)
+            # precomputed by the caller — e.g. the batched Pallas
+            # fd-derivatives kernels (kernels/fd_derivs.py first-order,
+            # kernels/fd_derivs2.py second-order), which fuse the whole
+            # kinematic chain for all B·T samples in VMEM; only cost
+            # derivatives remain per timestep
             fxg, fug = fx_fu
 
-            def per_t_given(t, x, u, fx_, fu_):
+            def per_t_given(t, x, u, fx_, fu_, fzz_given=None):
                 def c(z):
                     dx, du = z[:ndx], z[ndx:]
                     return self.cost.stage(
@@ -306,10 +315,19 @@ class Problem:
                 lz_ = jax.jacfwd(c)(z0)
                 lzz_ = jax.jacfwd(jax.jacfwd(c))(z0)
                 fz_ = jnp.concatenate([fx_, fu_], axis=1)
-                fzz_ = jnp.zeros((ndx, nz, nz), dtype=dtype)
+                fzz_ = (
+                    fzz_given
+                    if fzz_given is not None
+                    else jnp.zeros((ndx, nz, nz), dtype=dtype)
+                )
                 return lz_, lzz_, fz_, fzz_
 
-            lz, lzz, fz, fzz = jax.vmap(per_t_given)(ts, xs[:-1], us, fxg, fug)
+            if f_hess is not None:
+                lz, lzz, fz, fzz = jax.vmap(per_t_given)(
+                    ts, xs[:-1], us, fxg, fug, f_hess
+                )
+            else:
+                lz, lzz, fz, fzz = jax.vmap(per_t_given)(ts, xs[:-1], us, fxg, fug)
         else:
             lz, lzz, fz, fzz = jax.vmap(
                 per_t_analytic if use_analytic else per_t

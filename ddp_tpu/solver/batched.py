@@ -511,23 +511,24 @@ def solve_batched(
             isinstance(problem.dynamics, EulerDynamics)
             and problem.dynamics.analytic_jacobians_ok
             and hasattr(model, "joint_types")
-            and _vector_space_config(model)  # the lane kernel and the fx
+            and _vector_space_config(model)  # the lane kernels and the fx
             # assembly below are vector-space only; manifold models take
             # deriv="jvp" (whose analytic path chains the chart)
-            and not problem.second_order
         ):
             raise ValueError(
-                "deriv='pallas' needs first-order Euler dynamics on a "
+                "deriv='pallas' needs Euler dynamics on a "
                 "revolute/prismatic RobotModel"
             )
         nq, nv_, ndx = model.nq, model.nv, problem.ndx
         # lane-block size for the fd kernel: honor an explicit block_b
-        # (B·T must divide by it), else prefer 512 (measured ~2.7× faster
-        # than 128, docs/DESIGN.md) with 128 as fallback (ADVICE r3)
+        # (B·T must divide by it).  First order prefers 512 (measured ~2.7×
+        # faster than 128, docs/DESIGN.md); the second-order kernel prefers
+        # 256 (measured fastest — 512 spills its Hessian live set)
+        pref = 256 if problem.second_order else 512
         fd_block = (
             block_b
             if block_b is not None
-            else (512 if (B * T) % 512 == 0 else 128)
+            else (pref if (B * T) % pref == 0 else 128)
         )
         if (B * T) % fd_block:
             raise ValueError(
@@ -535,14 +536,26 @@ def solve_batched(
                 f"block ({fd_block}; pass block_b to override)"
             )
         dt_ = problem.dynamics.dt
+        if problem.second_order and model.nu != nv_:
+            raise ValueError(
+                "deriv='pallas' full DDP needs direct torque actuation "
+                "(nu == nv); use deriv='jvp'"
+            )
 
         def vderivs(xs_, us_):
             q = xs_[:, :-1, :nq].reshape(B * T, nq)
             v = xs_[:, :-1, nq:].reshape(B * T, nv_)
             uf = us_.reshape(B * T, nu)
-            _, A, Bv, Mi = fd_derivs_pallas(
-                model, q, v, uf, block_b=fd_block, interpret=interpret
-            )
+            if problem.second_order:
+                from ddp_tpu.kernels.fd_derivs2 import fd_derivs2_pallas
+
+                _, A, Bv, Mi, H = fd_derivs2_pallas(
+                    model, q, v, uf, block_b=fd_block, interpret=interpret
+                )
+            else:
+                _, A, Bv, Mi = fd_derivs_pallas(
+                    model, q, v, uf, block_b=fd_block, interpret=interpret
+                )
             I = jnp.broadcast_to(
                 jnp.eye(nv_, dtype=dtype), (B * T, nv_, nv_)
             )
@@ -552,6 +565,23 @@ def solve_batched(
             fu = jnp.concatenate(
                 [jnp.zeros((B * T, nv_, nu), dtype), dt_ * Mi], axis=1
             ).reshape(B, T, ndx, nu)
+            if problem.second_order:
+                # Euler local map f(z) = [dq + dt·(v+dv); dv + dt·a(ζ+z)]:
+                # the q-rows are affine → zero Hessian; the v-rows' Hessian
+                # is dt·H with ζ = (q, v, τ) ≡ z = (dq, dv, du)
+                nz_ = ndx + nu
+                fzz = jnp.concatenate(
+                    [
+                        jnp.zeros((B * T, nv_, nz_, nz_), dtype),
+                        dt_ * H,
+                    ],
+                    axis=1,
+                ).reshape(B, T, ndx, nz_, nz_)
+                return jax.vmap(
+                    lambda x_, u_, fx_, fu_, fzz_: problem.derivatives(
+                        x_, u_, fx_fu=(fx_, fu_), f_hess=fzz_
+                    )
+                )(xs_, us_, fx, fu, fzz)
             return jax.vmap(
                 lambda x_, u_, fx_, fu_: problem.derivatives(
                     x_, u_, fx_fu=(fx_, fu_)

@@ -103,14 +103,18 @@ def test_spec_cache_bounded_lru():
 
     fd._SPEC_CACHE.clear()
     cap = fd._SPEC_CACHE_MAX
+    fake = {"joint_types": ("revolute",)}  # enough for _make_fd_call's nv
     for i in range(cap + 3):
-        fd._spec_cache_put(("key", i), {"spec": i})
+        fd._spec_cache_get(("key", i), fake)
     assert len(fd._SPEC_CACHE) == cap
     assert ("key", 0) not in fd._SPEC_CACHE  # oldest evicted
     assert ("key", cap + 2) in fd._SPEC_CACHE
+    # each entry holds its own jitted callable (eviction drops exactly that
+    # spec's compilations — ADVICE r4)
+    assert callable(fd._SPEC_CACHE[("key", cap + 2)])
     # hit refreshes LRU order: touching the oldest survivor keeps it alive
     oldest = next(iter(fd._SPEC_CACHE))
-    fd._spec_cache_put(oldest, fd._SPEC_CACHE[oldest])
-    fd._spec_cache_put(("key", 999), {"spec": 999})
+    fd._spec_cache_get(oldest, fake)
+    fd._spec_cache_get(("key", 999), fake)
     assert oldest in fd._SPEC_CACHE
     fd._SPEC_CACHE.clear()
