@@ -64,6 +64,31 @@ class Pendulum:
         )
         return tf.add(tf.mul(coef, s), tf.div(tau, tf.from_float(self.mass)))
 
+    def fd_derivatives_tf(self, q, v, tau):
+        """Double-float (a, ∂a/∂q, ∂a/∂v, ∂a/∂τ) — the model's piece of the
+        TF-Jacobian solve mode (solver/precise.py derivs_rows_tf), widening
+        the derivative sweep itself ≙ the reference evaluating
+        d_dynamics_aba at an MPFR scalar (pendulum_model.hpp:116-130 under
+        test/pendulum_ddp.cpp:15-17)."""
+        del v
+        from ddp_tpu.ops import twofloat as tf
+
+        dtype = q.hi.dtype
+        coef = tf.div(
+            tf.from_float(jnp.asarray(-_G, dtype)), tf.from_float(self.length)
+        )
+        s, c = tf.sincos(q)
+        a = tf.add(tf.mul(coef, s), tf.div(tau, tf.from_float(self.mass)))
+        A = tf.mul(coef, c)
+        A = tf.TF(A.hi[None, :], A.lo[None, :])  # [1, 1]
+        z = jnp.zeros((1, 1), dtype)
+        Bv = tf.TF(z, z)
+        Bu = tf.div(
+            tf.from_float(jnp.ones((1, 1), dtype)),
+            tf.from_float(self.mass),
+        )
+        return a, A, Bv, Bu
+
     def fd_derivatives(self, q: jax.Array, v: jax.Array, tau: jax.Array):
         """(a, ∂a/∂q, ∂a/∂v, ∂a/∂τ) closed-form — the reference's analytic
         d_dynamics_aba (pendulum_model.hpp:116-130), feeding the analytic

@@ -80,6 +80,21 @@ class ConfigTarget:
         q = tf.TF(x.hi[..., :nq], x.lo[..., :nq])
         return tf.sub(q, tf.from_float(self.target))
 
+    def jac_tf(self, jac_step_tf, step_tf, t, x, u):
+        """Double-float (eqx [ne, ndx], equ [ne, nu]) for the TF-Jacobian
+        solve mode.  Vector-space: ∂(q − target)/∂x = [I | 0], exact."""
+        del jac_step_tf, step_tf, t
+        from ddp_tpu.ops import twofloat as tf
+
+        nv = self.model.nv
+        dtype = x.hi.dtype
+        eqx = jnp.concatenate(
+            [jnp.eye(nv, dtype=dtype), jnp.zeros((nv, nv), dtype)], axis=1
+        )
+        equ = jnp.zeros((nv, u.hi.shape[-1]), dtype)
+        z = jnp.zeros_like
+        return tf.TF(eqx, z(eqx)), tf.TF(equ, z(equ))
+
     def active(self, t: int) -> bool:
         return t in self.active_ts
 
@@ -115,6 +130,18 @@ class StateTarget:
         from ddp_tpu.ops import twofloat as tf
 
         return tf.sub(x, tf.from_float(self.target))
+
+    def jac_tf(self, jac_step_tf, step_tf, t, x, u):
+        """TF (eqx, equ): ∂(x − target)/∂x = I, exact (vector space)."""
+        del jac_step_tf, step_tf, t
+        from ddp_tpu.ops import twofloat as tf
+
+        n = 2 * self.model.nv
+        dtype = x.hi.dtype
+        eqx = jnp.eye(n, dtype=dtype)
+        equ = jnp.zeros((n, u.hi.shape[-1]), dtype)
+        z = jnp.zeros_like
+        return tf.TF(eqx, z(eqx)), tf.TF(equ, z(equ))
 
     def active(self, t: int) -> bool:
         return t in self.active_ts
@@ -212,6 +239,20 @@ class AdvanceTime:
         """TF-storage evaluation: roll the supplied TF dynamics step and
         evaluate the inner constraint in TF (same-u forwarding)."""
         return self.inner.value_tf(step_tf, t + 1, step_tf(t, x, u), u)
+
+    def jac_tf(self, jac_step_tf, step_tf, t, x, u):
+        """TF (eqx, equ) via the composition product rule in double-float:
+        eqx = eqx_inner·fx, equ = eqx_inner·fu + equ_inner (same-u
+        forwarding) — ≙ problem.hpp:569-605's product rule, carried at pair
+        resolution."""
+        from ddp_tpu.ops import twofloat as tf
+
+        x1 = step_tf(t, x, u)
+        fx, fu = jac_step_tf(t, x, u)
+        eqx_i, equ_i = self.inner.jac_tf(jac_step_tf, step_tf, t + 1, x1, u)
+        eqx = tf.matmat(eqx_i, fx)
+        equ = tf.add(tf.matmat(eqx_i, fu), equ_i)
+        return eqx, equ
 
     def active(self, t: int) -> bool:
         return self.inner.active(t + 1)

@@ -34,6 +34,18 @@ class QuadControlCost:
 
         return tf.mul(tf.from_float(0.5 * self.c), tf.sum_(tf.mul(u, u)))
 
+    def grad_tf(self, t, x, u):
+        """Double-float (lx [ndx], lu [nu]) for the TF-Jacobian solve mode
+        (solver/precise.py derivs_rows_tf).  Vector-space models only
+        (ndx = nx): lx ≡ 0, lu = c·u at pair resolution."""
+        del t
+        from ddp_tpu.ops import twofloat as tf
+
+        z = jnp.zeros_like(x.hi)
+        lx = tf.TF(z, z)
+        lu = tf.mul(tf.from_float(self.c), u)
+        return lx, lu
+
     def terminal(self, x):
         return jnp.zeros((), dtype=x.dtype)
 

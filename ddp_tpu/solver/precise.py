@@ -116,28 +116,34 @@ def _zero3(derivs, mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo):
 
 def optimality_obj_tf(
     problem, derivs, mult_val, mult_jac, mu,
-    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None, rows_lo=None,
 ) -> jax.Array:
     """max_t ‖∂L_aug/∂u_t‖ (ddp.hpp:575-627) with TF accumulation.  The
-    optional lo arrays carry eq/multiplier pair residues (storage mode)."""
+    optional lo arrays carry eq/multiplier pair residues (storage mode);
+    ``rows_lo`` carries the TF-evaluated-Jacobian residues of
+    lx/lu/fx/fu/eqx/equ (TF-Jacobian mode, derivs_rows_tf)."""
 
     def step(adj: TF, inp):
-        lx, lu, fx, fu, eqv, eqx, equ, pe, pex, eqv_lo, pe_lo, pex_lo = inp
+        (lx, lu, fx, fu, eqv, eqx, equ, pe, pex,
+         eqv_lo, pe_lo, pex_lo, rl) = inp  # fmt: skip
         eqv_tf, pe_tf, pex_tf = TF(eqv, eqv_lo), TF(pe, pe_lo), TF(pex, pex_lo)
-        lu_aug = tf.add(_F(lu), tf.matvec(_F(equ.T), pe_tf))
-        lu_aug = tf.add(lu_aug, tf.matvec(_F(equ.T), tf.mul(_F(mu), eqv_tf)))
-        lu_aug = tf.add(lu_aug, tf.matvec(_F(fu.T), adj))
+        equ_tf = tf.tT(TF(equ, rl.equ))
+        lu_aug = tf.add(TF(lu, rl.lu), tf.matvec(equ_tf, pe_tf))
+        lu_aug = tf.add(lu_aug, tf.matvec(equ_tf, tf.mul(_F(mu), eqv_tf)))
+        lu_aug = tf.add(lu_aug, tf.matvec(tf.tT(TF(fu, rl.fu)), adj))
         score = jnp.sqrt(tf.dot(tf.to_float(lu_aug), tf.to_float(lu_aug)).hi)
-        adj_new = tf.add(tf.matvec(_F(fx.T), adj), _F(lx))
-        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), tf.mul(_F(mu), eqv_tf)))
-        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), pe_tf))
+        eqx_tf = tf.tT(TF(eqx, rl.eqx))
+        adj_new = tf.add(tf.matvec(tf.tT(TF(fx, rl.fx)), adj), TF(lx, rl.lx))
+        adj_new = tf.add(adj_new, tf.matvec(eqx_tf, tf.mul(_F(mu), eqv_tf)))
+        adj_new = tf.add(adj_new, tf.matvec(eqx_tf, pe_tf))
         adj_new = tf.add(adj_new, tf.matvec(tf.tT(pex_tf), eqv_tf))
         return adj_new, score
 
     lo3 = _zero3(derivs, mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo)
+    rl = rows_lo if rows_lo is not None else _rows_lo_zero(derivs)
     inputs = (
         derivs.lx, derivs.lu, derivs.fx, derivs.fu,
-        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac, *lo3,
+        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac, *lo3, rl,
     )  # fmt: skip
     _, scores = jax.lax.scan(step, _F(derivs.lfx), inputs, reverse=True)
     return jnp.max(scores)
@@ -145,25 +151,27 @@ def optimality_obj_tf(
 
 def optimality_lag_tf(
     problem, derivs, mult_val, mult_jac,
-    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None, rows_lo=None,
 ) -> jax.Array:
     """max_t ‖∂L/∂u_t‖ (μ-free, ddp.hpp:525-573) with TF accumulation."""
 
     def step(adj: TF, inp):
-        lx, lu, fx, fu, eqv, eqx, equ, pe, pex, eqv_lo, pe_lo, pex_lo = inp
+        (lx, lu, fx, fu, eqv, eqx, equ, pe, pex,
+         eqv_lo, pe_lo, pex_lo, rl) = inp  # fmt: skip
         eqv_tf, pe_tf, pex_tf = TF(eqv, eqv_lo), TF(pe, pe_lo), TF(pex, pex_lo)
-        lu_aug = tf.add(_F(lu), tf.matvec(_F(equ.T), pe_tf))
-        lu_aug = tf.add(lu_aug, tf.matvec(_F(fu.T), adj))
+        lu_aug = tf.add(TF(lu, rl.lu), tf.matvec(tf.tT(TF(equ, rl.equ)), pe_tf))
+        lu_aug = tf.add(lu_aug, tf.matvec(tf.tT(TF(fu, rl.fu)), adj))
         score = jnp.sqrt(tf.dot(tf.to_float(lu_aug), tf.to_float(lu_aug)).hi)
-        adj_new = tf.add(tf.matvec(_F(fx.T), adj), _F(lx))
-        adj_new = tf.add(adj_new, tf.matvec(_F(eqx.T), pe_tf))
+        adj_new = tf.add(tf.matvec(tf.tT(TF(fx, rl.fx)), adj), TF(lx, rl.lx))
+        adj_new = tf.add(adj_new, tf.matvec(tf.tT(TF(eqx, rl.eqx)), pe_tf))
         adj_new = tf.add(adj_new, tf.matvec(tf.tT(pex_tf), eqv_tf))
         return adj_new, score
 
     lo3 = _zero3(derivs, mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo)
+    rl = rows_lo if rows_lo is not None else _rows_lo_zero(derivs)
     inputs = (
         derivs.lx, derivs.lu, derivs.fx, derivs.fu,
-        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac, *lo3,
+        derivs.eq, derivs.eqx, derivs.equ, mult_val, mult_jac, *lo3, rl,
     )  # fmt: skip
     _, scores = jax.lax.scan(step, _F(derivs.lfx), inputs, reverse=True)
     return jnp.max(scores)
@@ -278,6 +286,18 @@ class TrajTF(NamedTuple):
     us: TF  # [T, nu]
 
 
+def _constraint_supports_tf(con) -> bool:
+    """True iff the WHOLE constraint stack evaluates in TF.  AdvanceTime
+    always defines value_tf (it just forwards through the TF step), so the
+    gate must recurse into its inner constraint — otherwise
+    AdvanceTime(FrameTarget) passes hasattr and dies mid-trace with
+    AttributeError instead of solve()'s clean ValueError (ADVICE r4)."""
+    if not hasattr(con, "value_tf"):
+        return False
+    inner = getattr(con, "inner", None)
+    return _constraint_supports_tf(inner) if inner is not None else True
+
+
 def supports_tf_storage(problem) -> bool:
     model = problem.model
     from ddp_tpu.ocp.dynamics import EulerDynamics, _vector_space_config
@@ -286,9 +306,134 @@ def supports_tf_storage(problem) -> bool:
         isinstance(problem.dynamics, EulerDynamics)
         and _vector_space_config(model)
         and hasattr(model, "forward_dynamics_tf")
-        and hasattr(problem.constraint, "value_tf")
+        and _constraint_supports_tf(problem.constraint)
         and hasattr(problem.cost, "stage_tf")
     )
+
+
+class RowsLo(NamedTuple):
+    """TF residues of the first-order derivative rows (TF-Jacobian mode).
+
+    ``solve(precise="storage")`` on a model exposing ``fd_derivatives_tf``
+    evaluates lx/lu/fx/fu/eqx/equ on the TF iterate at pair resolution
+    (derivs_rows_tf); the hi parts replace the Derivs rows and these lo
+    parts ride into the TF backward sweep and optimality adjoints — the one
+    stage the reference's whole-stack MPFR instantiation covered
+    (problem.hpp:50-341 templated on Scalar) that TF storage alone did not
+    (docs/DESIGN.md "The TF-storage floor after round 4")."""
+
+    lx: jax.Array  # [T, ndx]
+    lu: jax.Array  # [T, nu]
+    fx: jax.Array  # [T, ndx, ndx]
+    fu: jax.Array  # [T, ndx, nu]
+    eqx: jax.Array  # [T, ne, ndx]
+    equ: jax.Array  # [T, ne, nu]
+
+
+def _rows_lo_zero(derivs) -> RowsLo:
+    z = jnp.zeros_like
+    return RowsLo(
+        lx=z(derivs.lx), lu=z(derivs.lu), fx=z(derivs.fx), fu=z(derivs.fu),
+        eqx=z(derivs.eqx), equ=z(derivs.equ),
+    )  # fmt: skip
+
+
+def supports_tf_jacobians(problem) -> bool:
+    """Whether the whole first-order derivative sweep can run in TF:
+    TF-storage support plus model/cost/constraint TF-Jacobian hooks."""
+
+    def con_ok(con):
+        if not hasattr(con, "jac_tf"):
+            return False
+        inner = getattr(con, "inner", None)
+        return con_ok(inner) if inner is not None else True
+
+    return (
+        supports_tf_storage(problem)
+        and hasattr(problem.model, "fd_derivatives_tf")
+        and con_ok(problem.constraint)
+        and hasattr(problem.cost, "grad_tf")
+    )
+
+
+def euler_jac_tf(dyn, x: TF, u: TF):
+    """Double-float Euler-step tangent Jacobians (fx, fu) — the TF analog
+    of dynamics.EulerDynamics.jacobians on a vector-space model:
+
+        fx = [[I, dt·I], [dt·∂a/∂q, I + dt·∂a/∂v]],  fu = [[0], [dt·∂a/∂u]]
+
+    with the ∂a blocks from model.fd_derivatives_tf at pair resolution."""
+    model = dyn.model
+    nq, nv = model.nq, model.nv
+    q = TF(x.hi[..., :nq], x.lo[..., :nq])
+    v = TF(x.hi[..., nq:], x.lo[..., nq:])
+    _, A, Bv, Bu = model.fd_derivatives_tf(q, v, u)
+    dtype = x.hi.dtype
+    dt = _F(dyn.dt)
+    I = jnp.eye(nv, dtype=dtype)
+    zI = jnp.zeros_like(I)
+    dtI = tf.mul(dt, TF(I, zI))
+
+    def hcat(a: TF, b: TF) -> TF:
+        return TF(
+            jnp.concatenate([a.hi, b.hi], axis=-1),
+            jnp.concatenate([a.lo, b.lo], axis=-1),
+        )
+
+    def vcat(a: TF, b: TF) -> TF:
+        return TF(
+            jnp.concatenate([a.hi, b.hi], axis=-2),
+            jnp.concatenate([a.lo, b.lo], axis=-2),
+        )
+
+    top = hcat(TF(I, zI), dtI)
+    bot = hcat(tf.mul(dt, A), tf.add(TF(I, zI), tf.mul(dt, Bv)))
+    fx = vcat(top, bot)
+    nu = u.hi.shape[-1]
+    zU = jnp.zeros((nv, nu), dtype)
+    fu = vcat(TF(zU, zU), tf.mul(dt, Bu))
+    return fx, fu
+
+
+def derivs_rows_tf(problem, xs: TF, us: TF):
+    """Evaluate the first-order derivative rows (lx, lu, fx, fu, eqx, equ)
+    on the TF iterate at pair resolution, for every timestep.
+
+    Returns (rows_hi: dict, rows_lo: RowsLo) with the same [T, …] layouts
+    as Derivs; eq rows are masked by the static activity mask.  ≙ the
+    reference's compute_derivatives under an MPFR scalar for the rows the
+    optimality adjoints and the Q-expansion consume linearly."""
+    T = problem.horizon
+    dyn = problem.dynamics
+
+    def step_tf(t, x, u):
+        return euler_step_tf(dyn, x, u)
+
+    def jac_step_tf(t, x, u):
+        return euler_jac_tf(dyn, x, u)
+
+    def per_t(t, xh, xl, uh, ul):
+        x = TF(xh, xl)
+        u = TF(uh, ul)
+        lx, lu = problem.cost.grad_tf(t, x, u)
+        fx, fu = euler_jac_tf(dyn, x, u)
+        eqx, equ = problem.constraint.jac_tf(jac_step_tf, step_tf, t, x, u)
+        return lx, lu, fx, fu, eqx, equ
+
+    ts = jnp.arange(T)
+    lx, lu, fx, fu, eqx, equ = jax.vmap(per_t)(
+        ts, xs.hi[:-1], xs.lo[:-1], us.hi, us.lo
+    )
+    mask = jnp.asarray(problem.eq_mask(), dtype=xs.hi.dtype)[:, :, None]
+    eqx = TF(eqx.hi * mask, eqx.lo * mask)
+    equ = TF(equ.hi * mask, equ.lo * mask)
+    rows_hi = dict(
+        lx=lx.hi, lu=lu.hi, fx=fx.hi, fu=fu.hi, eqx=eqx.hi, equ=equ.hi
+    )
+    rows_lo = RowsLo(
+        lx=lx.lo, lu=lu.lo, fx=fx.lo, fu=fu.lo, eqx=eqx.lo, equ=equ.lo
+    )
+    return rows_hi, rows_lo
 
 
 def euler_step_tf(dyn, x: TF, u: TF) -> TF:
@@ -446,7 +591,7 @@ def forward_pass_storage_tf(
 
 def backward_sweep_tf(
     derivs, mult_val, mult_jac, mu, reg,
-    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None, rows_lo=None,
 ):
     """One Riccati sweep (ddp_bwd.ipp:9-155) carried in double-float.
 
@@ -458,7 +603,9 @@ def backward_sweep_tf(
     The optional ``*_lo`` arrays are the TF residues of eq values and
     multipliers (TF-storage mode): the μ-amplified terms tmp = p + μ·eq and
     tmp2 = p_x + μ·eq_x then carry the full pair resolution instead of
-    being floored at eps_f32·‖eq‖.
+    being floored at eps_f32·‖eq‖.  ``rows_lo`` (TF-Jacobian mode) carries
+    the residues of the TF-evaluated first-order rows, so Qu/Qx/Qux seed at
+    pair resolution too.
 
     Returns (k [T,m], K [T,m,n], ok) as plain floats (rounded from TF).
     """
@@ -469,12 +616,13 @@ def backward_sweep_tf(
     eq_lo = eq_lo if eq_lo is not None else z(derivs.eq)
     mult_val_lo = mult_val_lo if mult_val_lo is not None else z(mult_val)
     mult_jac_lo = mult_jac_lo if mult_jac_lo is not None else z(mult_jac)
+    rl = rows_lo if rows_lo is not None else _rows_lo_zero(derivs)
 
     inputs = (
         derivs.lx, derivs.lu, derivs.lxx, derivs.lux, derivs.luu,
         derivs.fx, derivs.fu, derivs.fxx, derivs.fux, derivs.fuu,
         derivs.eq, derivs.eqx, derivs.equ, derivs.eqxx, derivs.equx, derivs.equu,
-        mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo,
+        mult_val, mult_jac, eq_lo, mult_val_lo, mult_jac_lo, rl,
     )  # fmt: skip
 
     def refine(chol, Quu_reg: TF, rhs: TF):
@@ -490,37 +638,39 @@ def backward_sweep_tf(
         Vx, Vxx = carry  # TF [n], TF [n,n]
         (lx, lu, lxx, lux, luu, fx, fu, fxx, fux, fuu,
          eqv, eqx, equ, eqxx, equx, equu, pe, pex,
-         eqv_lo, pe_lo, pex_lo) = inp  # fmt: skip
+         eqv_lo, pe_lo, pex_lo, rl) = inp  # fmt: skip
 
         eqv_tf = TF(eqv, eqv_lo)
         pe_tf = TF(pe, pe_lo)
         pex_tf = TF(pex, pex_lo)
+        fx_tf, fu_tf = TF(fx, rl.fx), TF(fu, rl.fu)
+        eqx_tf, equ_tf = TF(eqx, rl.eqx), TF(equ, rl.equ)
         tmp = tf.add(pe_tf, tf.mul(_F(mu), eqv_tf))  # p + μ·eq
-        tmp2 = tf.add(pex_tf, _mul_scalar(mu, eqx))  # p_x + μ·eq_x
+        tmp2 = tf.add(pex_tf, tf.mul(_F(mu), eqx_tf))  # p_x + μ·eq_x
 
-        Qx = tf.add(_F(lx), tf.matvec(_F(fx.T), Vx))
-        Qx = tf.add(Qx, tf.matvec(_F(eqx.T), tmp))
+        Qx = tf.add(TF(lx, rl.lx), tf.matvec(tf.tT(fx_tf), Vx))
+        Qx = tf.add(Qx, tf.matvec(tf.tT(eqx_tf), tmp))
         Qx = tf.add(Qx, tf.matvec(tf.tT(pex_tf), eqv_tf))
 
-        Qu = tf.add(_F(lu), tf.matvec(_F(fu.T), Vx))
-        Qu = tf.add(Qu, tf.matvec(_F(equ.T), tmp))
+        Qu = tf.add(TF(lu, rl.lu), tf.matvec(tf.tT(fu_tf), Vx))
+        Qu = tf.add(Qu, tf.matvec(tf.tT(equ_tf), tmp))
 
-        Vfx = tf.matmat(Vxx, _F(fx))
-        Vfu = tf.matmat(Vxx, _F(fu))
+        Vfx = tf.matmat(Vxx, fx_tf)
+        Vfu = tf.matmat(Vxx, fu_tf)
 
-        Qxx = tf.add(_F(lxx), tf.matmat(_F(fx.T), Vfx))
-        Qxx = tf.add(Qxx, tf.matmat(_F(eqx.T), tmp2))
-        Qxx = tf.add(Qxx, tf.matmat(tf.tT(pex_tf), _F(eqx)))
+        Qxx = tf.add(_F(lxx), tf.matmat(tf.tT(fx_tf), Vfx))
+        Qxx = tf.add(Qxx, tf.matmat(tf.tT(eqx_tf), tmp2))
+        Qxx = tf.add(Qxx, tf.matmat(tf.tT(pex_tf), eqx_tf))
         Qxx = tf.add(Qxx, tf.contract0(tmp, _F(eqxx)))
         Qxx = tf.add(Qxx, tf.contract0(Vx, _F(fxx)))
 
-        Quu = tf.add(_F(luu), tf.matmat(_F(fu.T), Vfu))
-        Quu = tf.add(Quu, tf.matmat(tf.tT(_mul_scalar(mu, equ)), _F(equ)))
+        Quu = tf.add(_F(luu), tf.matmat(tf.tT(fu_tf), Vfu))
+        Quu = tf.add(Quu, tf.matmat(tf.tT(tf.mul(_F(mu), equ_tf)), equ_tf))
         Quu = tf.add(Quu, tf.contract0(tmp, _F(equu)))
         Quu = tf.add(Quu, tf.contract0(Vx, _F(fuu)))
 
-        Qux = tf.add(_F(lux), tf.matmat(_F(fu.T), Vfx))
-        Qux = tf.add(Qux, tf.matmat(_F(equ.T), tmp2))
+        Qux = tf.add(_F(lux), tf.matmat(tf.tT(fu_tf), Vfx))
+        Qux = tf.add(Qux, tf.matmat(tf.tT(equ_tf), tmp2))
         Qux = tf.add(Qux, tf.contract0(tmp, _F(equx)))
         Qux = tf.add(Qux, tf.contract0(Vx, _F(fux)))
 
@@ -542,7 +692,7 @@ def backward_sweep_tf(
 
 def backward_pass_tf(
     derivs, mult_val, mult_jac, mu, reg, max_retries: int = 24,
-    eq_lo=None, mult_val_lo=None, mult_jac_lo=None,
+    eq_lo=None, mult_val_lo=None, mult_jac_lo=None, rows_lo=None,
 ):
     """TF sweep with the reference's failure-escalation loop
     (ddp_bwd.ipp:26, 105-132: reg = max(reg, μ)·2, μ·2, restart).
@@ -552,6 +702,7 @@ def backward_pass_tf(
     sweep = lambda m_, r_: backward_sweep_tf(
         derivs, mult_val, mult_jac, m_, r_,
         eq_lo=eq_lo, mult_val_lo=mult_val_lo, mult_jac_lo=mult_jac_lo,
+        rows_lo=rows_lo,
     )
     ks0, Ks0, ok0 = sweep(mu, reg)
 

@@ -276,15 +276,29 @@ def solve(
             p, d, mv, mj
         )
 
+    tf_jacs = bool(storage) and precise_mod.supports_tf_jacobians(problem)
+
     def derivs_with_eq_tf(derivs, xs_hi, xs_lo, us_hi, us_lo):
-        """Storage mode: re-evaluate eq values in TF on the TF trajectory;
-        Jacobians/Hessians stay hi-evaluated (they multiply deltas)."""
+        """Storage mode: re-evaluate eq values in TF on the TF trajectory.
+        With TF-Jacobian support (supports_tf_jacobians — model/cost/
+        constraint hooks) the first-order rows lx/lu/fx/fu/eqx/equ are also
+        re-evaluated on the TF iterate at pair resolution and their lo
+        residues returned (rows_lo) — the last stage the reference's MPFR
+        instantiation covered that storage mode alone did not
+        (problem.hpp:50-341 Scalar-templated derivative evaluation)."""
         from ddp_tpu.ops.twofloat import TF as _TF
 
         eq_tf = precise_mod.eq_values_tf(
             problem, _TF(xs_hi, xs_lo), _TF(us_hi, us_lo)
         )
-        return derivs._replace(eq=eq_tf.hi), eq_tf.lo
+        derivs = derivs._replace(eq=eq_tf.hi)
+        rows_lo = None
+        if tf_jacs:
+            rows_hi, rows_lo = precise_mod.derivs_rows_tf(
+                problem, _TF(xs_hi, xs_lo), _TF(us_hi, us_lo)
+            )
+            derivs = derivs._replace(**rows_hi)
+        return derivs, eq_tf.lo, rows_lo
 
     def constrain_jac(jac):
         # constant-multiplier methods never grow a state-feedback term
@@ -294,10 +308,10 @@ def solve(
 
     # --- pre-loop: derivatives → backward → forward (ddp.hpp:768-773) ---
     derivs = problem.derivatives(xs, us)
-    eq_lo = None
+    eq_lo = rows_lo = None
     if storage:
-        derivs, eq_lo = derivs_with_eq_tf(derivs, xs, xs_lo, us, us_lo)
-    bres = bwd(derivs, mults.val, mults.jac, mu, reg, eq_lo=eq_lo)
+        derivs, eq_lo, rows_lo = derivs_with_eq_tf(derivs, xs, xs_lo, us, us_lo)
+    bres = bwd(derivs, mults.val, mults.jac, mu, reg, eq_lo=eq_lo, rows_lo=rows_lo)
     mu = bres.mu
     if storage:
         from ddp_tpu.ops.twofloat import TF
@@ -363,11 +377,11 @@ def solve(
         # --- update_derivatives (ddp.hpp:641-696) ---
         derivs = problem.derivatives(c.xs, c.us)
         if storage:
-            derivs, eq_lo = derivs_with_eq_tf(
+            derivs, eq_lo, rows_lo = derivs_with_eq_tf(
                 derivs, c.xs, c.xs_lo, c.us, c.us_lo
             )
         else:
-            eq_lo = None
+            eq_lo = rows_lo = None
         if precise:
             from ddp_tpu.ops.twofloat import TF as _TF
 
@@ -395,7 +409,8 @@ def solve(
         )
 
         lo_kw = dict(
-            eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac
+            eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac,
+            rows_lo=rows_lo,
         ) if storage else {}
         opt_obj = opt_obj_fn(problem, derivs, mults.val, mults.jac, c.mu, **lo_kw)
         opt_constr = al_mod.optimality_constr(derivs)
@@ -478,7 +493,8 @@ def solve(
             # the *updated* multipliers / μ^0.1 and w /= μ; on failure only
             # μ·10 fires (n, w untouched)
             lo_kw2 = dict(
-                eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac
+                eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac,
+                rows_lo=rows_lo,
             ) if storage else {}
             opt_obj2 = opt_obj_fn(
                 problem, derivs, mults.val, mults.jac, c.mu, **lo_kw2
@@ -497,7 +513,8 @@ def solve(
         bres = bwd(
             derivs, mults.val, mults.jac, mu_new, c.reg,
             **(dict(
-                eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac
+                eq_lo=eq_lo, mult_val_lo=m_lo_val, mult_jac_lo=m_lo_jac,
+                rows_lo=rows_lo,
             ) if storage else {}),
         )
         if storage:
