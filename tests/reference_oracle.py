@@ -428,6 +428,9 @@ def solve_pendulum_reference(
         opt_constr = optimality_constr(d)
         if opt_constr < thr and opt_obj < thr:
             break  # optimum_attained
+        gate = "none"  # ddp.hpp:677-695 decision label (for parity tests)
+        if opt_obj < w:
+            gate = "success" if opt_constr < n else "failure"
         if opt_obj < w:
             if opt_constr < n:  # update_success (ddp.hpp:677-688, 787-797)
                 p_val_new = p_val + mu * (
@@ -455,6 +458,7 @@ def solve_pendulum_reference(
             history.append({
                 "iter": it, "mu": mu, "reg": reg, "w": w, "n": n,
                 "step": step, "opt_obj": opt_obj, "opt_constr": opt_constr,
+                "gate": gate,
             })
 
     return {

@@ -118,6 +118,105 @@ def test_solve_matches_reference_golden_controls():
     assert dx < 1e-11, dx  # measured 6.7e-14
 
 
+def _gate_seq(history, k):
+    out = []
+    for i in range(k):
+        if bool(history.upd_success[i]):
+            out.append("success")
+        elif bool(history.upd_failure[i]):
+            out.append("failure")
+        else:
+            out.append("none")
+    return out
+
+
+@pytest.mark.slow
+def test_decision_sequence_parity_vs_mpmath_oracle():
+    """Decision-sequence parity (VERDICT r4 item 6): the *gate outcome
+    stream* of solve(reference_schedule=True) in f64 matches the mpmath
+    dps=120 oracle (≙ the reference's MPFR instantiation of the
+    ddp.hpp:677-695 decision tree), decision for decision, as far as the
+    decisions are resolvable in f64 at all:
+
+    - μ₀=1e4 (random jac init, the stepwise-parity config): 16 identical
+      (gate, step, μ) decisions INCLUDING three update_success firings
+      (iterations 7, 11, 14).  Divergence at 16 is precision-forced: after
+      three successes w = 1e-4/μ³ = 1e-16, and the reference gate
+      opt_obj < w then compares a μ-scaled stationarity (noise ~μ·eps₆₄)
+      against a sub-noise threshold — the very regime the reference's
+      MPFR-1000 scalars exist for (test/pendulum_ddp.cpp:15-17).
+    - the literal driver config μ₀=1e20 (test/pendulum_ddp.cpp:33):
+      14 identical gate outcomes, and the μ/reg escalation trace identical
+      over all 28 recorded iterations.  The oracle's iteration-15
+      update_success fires on opt_obj ≈ 3e-21 < w = 1e-20 — an f64
+      implementation cannot resolve any μ=1e20-scaled measure at 1e-20
+      (noise floor μ·eps₆₄ ≈ 2e4), so the gate stream past 14 is
+      MPFR-only by construction, not an implementation difference (the f64
+      oracle transliteration reads "none" there too, matching ddp_tpu).
+    """
+    mpmath = pytest.importorskip("mpmath")
+    mpmath.mp.dps = 120
+    mp_kw = dict(
+        scalar=mpmath.mpf, sin=mpmath.sin, cos=mpmath.cos, sqrt=mpmath.sqrt,
+        record_history=True, threshold=1e-300,
+    )
+
+    # --- μ₀=1e4: full decision tree fires within f64 resolution ---
+    rng = np.random.RandomState(0)
+    jac_row = rng.uniform(-1, 1, size=(2,))
+    iters = 16
+    res_o = solve_pendulum_reference(
+        mu_init=1e4, max_iterations=iters, jac_init=jac_row, **mp_kw
+    )
+    problem = make_problem(second_order=True, dtype=jnp.float64)
+    jac_init = np.zeros((HORIZON, 1, 2))
+    jac_init[HORIZON - 2, 0] = jac_row
+    params = SolverParams(max_iterations=iters, threshold=1e-300, mu=1e4)
+    res_t = jax.jit(
+        lambda x: solve(
+            problem, params, x, method=Method.PRIMAL_DUAL_AFFINE,
+            mults_init_jac=jnp.asarray(jac_init),
+            reference_schedule=True, history=True,
+        )
+    )(jnp.zeros(2, jnp.float64))
+    gates_o = [h["gate"] for h in res_o["history"]]
+    gates_t = _gate_seq(res_t.history, iters)
+    assert gates_t == gates_o, (gates_t, gates_o)
+    assert gates_o.count("success") == 3  # real firings, not a trivial run
+    for i, ho in enumerate(res_o["history"]):
+        assert float(res_t.history.step[i]) == float(ho["step"]), i
+        assert float(res_t.history.mu[i]) == pytest.approx(float(ho["mu"])), i
+        assert float(res_t.history.reg[i]) == pytest.approx(float(ho["reg"])), i
+
+    # --- literal μ₀=1e20 driver config: gate parity to the precision wall ---
+    iters20 = 28
+    res_o20 = solve_pendulum_reference(
+        mu_init=1e20, max_iterations=iters20, **mp_kw
+    )
+    params20 = SolverParams(max_iterations=iters20, threshold=1e-300, mu=1e20)
+    res_t20 = jax.jit(
+        lambda x: solve(
+            problem, params20, x, method=Method.PRIMAL_DUAL_AFFINE,
+            reference_schedule=True, history=True,
+        )
+    )(jnp.zeros(2, jnp.float64))
+    gates_o20 = [h["gate"] for h in res_o20["history"]]
+    gates_t20 = _gate_seq(res_t20.history, iters20)
+    assert gates_t20[:14] == gates_o20[:14]
+    # μ/reg escalation decisions agree over the whole record
+    for i, ho in enumerate(res_o20["history"]):
+        assert float(res_t20.history.mu[i]) == pytest.approx(float(ho["mu"])), i
+        assert float(res_t20.history.reg[i]) == pytest.approx(float(ho["reg"])), i
+    # the first divergent oracle decision is below any f64-resolvable
+    # magnitude: update_success on opt_obj < w = 1e-20 at μ = 1e20
+    first_succ = gates_o20.index("success")
+    assert first_succ >= 14
+    # the gating w is the one carried INTO the iteration (w is recorded
+    # post-update; every earlier iteration was "none", leaving w = 1/μ)
+    assert float(res_o20["history"][first_succ - 1]["w"]) == pytest.approx(1e-20)
+    assert float(res_o20["history"][first_succ]["opt_obj"]) < 1e-19
+
+
 @pytest.mark.slow
 def test_mpmath_oracle_short_smoke():
     """The precision-generic oracle instantiates at mpmath scalars (the
