@@ -253,6 +253,7 @@ def backward_sweep_pallas(
     block_b: int = 512,
     interpret: bool = False,
     time_chunk: int | None = None,
+    vmem_limit: int | None = None,
 ):
     """Run the batched backward sweep with batch-on-lanes layout.
 
@@ -277,35 +278,45 @@ def backward_sweep_pallas(
 
     if time_chunk is not None and time_chunk < T:
         assert T % time_chunk == 0, (T, time_chunk)
-        vx, vxx = derivs_bl["lfx"], derivs_bl["lfxx"]
-        ks, Ks = [], []
-        ok_all = None
-        for t1 in range(T, 0, -time_chunk):
-            t0 = t1 - time_chunk
-            sub = {
-                key: (v if key in ("lfx", "lfxx") else v[t0:t1])
-                for key, v in derivs_bl.items()
-            }
+        n_chunks = T // time_chunk
+        # reverse-time chunk sweep as ONE lax.scan: the kernel body is
+        # traced once (the per-chunk Python loop used to re-trace the
+        # unrolled kernel n_chunks times — tens of minutes at second-order
+        # arm dims), and XLA launches the same compiled kernel per chunk
+        time_keys = [k_ for k_ in derivs_bl if k_ not in ("lfx", "lfxx")]
+        stacked = {
+            k_: derivs_bl[k_]
+            .reshape((n_chunks, time_chunk) + derivs_bl[k_].shape[1:])[::-1]
+            for k_ in time_keys
+        }
+
+        def chunk_step(carry, blk):
+            vx, vxx = carry
+            sub = dict(blk)
             sub["lfx"], sub["lfxx"] = vx, vxx
-            k_c, K_c, ok_c, vx, vxx = _sweep_call(
+            k_c, K_c, ok_c, vx2, vxx2 = _sweep_call(
                 sub, mu, reg, T=time_chunk, n=n, m=m, e=e,
-                block_b=block_b, interpret=interpret,
+                block_b=block_b, interpret=interpret, vmem_limit=vmem_limit,
             )  # fmt: skip
-            ks.append(k_c)
-            Ks.append(K_c)
-            ok_all = ok_c if ok_all is None else jnp.logical_and(ok_all, ok_c)
-        k = jnp.concatenate(ks[::-1], axis=0)
-        K = jnp.concatenate(Ks[::-1], axis=0)
-        return k, K, ok_all
+            return (vx2, vxx2), (k_c, K_c, ok_c)
+
+        (_, _), (ks, Ks, oks) = jax.lax.scan(
+            chunk_step, (derivs_bl["lfx"], derivs_bl["lfxx"]), stacked
+        )
+        k = ks[::-1].reshape((T,) + ks.shape[2:])
+        K = Ks[::-1].reshape((T,) + Ks.shape[2:])
+        return k, K, jnp.all(oks, axis=0)
 
     k, K, ok, _, _ = _sweep_call(
         derivs_bl, mu, reg, T=T, n=n, m=m, e=e, block_b=block_b,
-        interpret=interpret,
+        interpret=interpret, vmem_limit=vmem_limit,
     )  # fmt: skip
     return k, K, ok
 
 
-def _sweep_call(derivs_bl, mu, reg, *, T, n, m, e, block_b, interpret):
+def _sweep_call(
+    derivs_bl, mu, reg, *, T, n, m, e, block_b, interpret, vmem_limit=None
+):
     """One pallas_call over [0, T); returns (k, K, ok, Vx_final, Vxx_final)."""
     B = derivs_bl["lx"].shape[-1]
     dtype = derivs_bl["lx"].dtype
@@ -357,6 +368,14 @@ def _sweep_call(derivs_bl, mu, reg, *, T, n, m, e, block_b, interpret):
     kernel = functools.partial(
         _bwd_kernel, T=T, n=n, m=m, e=e, second_order=second_order
     )
+    params = {}
+    if vmem_limit is not None:
+        # second-order arm dims carry ~4.5k input rows/step: a raised scoped
+        # limit lets the whole horizon ride one launch instead of chunk-of-2
+        # splits (8× the launches AND 8× the kernel-body traces)
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit
+        )
     k, K, ok, vx, vxx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -368,6 +387,7 @@ def _sweep_call(derivs_bl, mu, reg, *, T, n, m, e, block_b, interpret):
             pltpu.VMEM((n * n, block_b), dtype),
         ],
         interpret=interpret,
+        **params,
     )(*inputs)
     return k, K, ok[0] > 0.5, vx, vxx
 

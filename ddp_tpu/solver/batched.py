@@ -247,9 +247,18 @@ def _backward_pallas_levels(
     B, T = derivs.lx.shape[0], derivs.lx.shape[1]
     n, m, e = derivs.lx.shape[-1], derivs.lu.shape[-1], derivs.eq.shape[-1]
     itemsize = jnp.dtype(derivs.lx.dtype).itemsize
+    # second-order rows/step grow ~n³: under the default 16 MiB scoped
+    # budget the plan degenerates to tiny time chunks (8× the launches and
+    # kernel-body traces).  A raised scoped limit is measured-safe (the fd2
+    # kernel runs at 27 MiB), so give full-DDP a 64 MiB plan + 100 MiB cap.
+    budget_kw = {}
+    vmem_limit = None
+    if second_order:
+        budget_kw["budget"] = 64 * 2**20
+        vmem_limit = 100 * 1024 * 1024
     block_b, chunk = _pallas_block_plan(
         B=B, T=T, n=n, m=m, e=e, second_order=second_order,
-        itemsize=itemsize, block_b=block_b,
+        itemsize=itemsize, block_b=block_b, **budget_kw,
     )
     packed = pack_batch_last(derivs, mult_val, mult_jac, second_order=second_order)
     base = jnp.maximum(reg, mu) * 2.0
@@ -260,7 +269,7 @@ def _backward_pallas_levels(
     for i in range(n_levels):
         k_i, K_i, ok_i = backward_sweep_pallas(
             packed, mu, lvl, T=T, n=n, m=m, e=e, block_b=block_b,
-            interpret=interpret, time_chunk=chunk,
+            interpret=interpret, time_chunk=chunk, vmem_limit=vmem_limit,
         )
         newly = jnp.logical_and(~ok_acc, ok_i)
         if k is None:
