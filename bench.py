@@ -270,6 +270,154 @@ def _t200_row(jax, jnp, budget_s: int = 420):
         signal.signal(signal.SIGALRM, old)
 
 
+def _panda7_row(jax, jnp, budget_s: int = 420):
+    """BASELINE configs[3]-class row (7-DoF spatial_eq fleet) at a bounded
+    budget: B=256, 24 AL iterations, the production recipe
+    (benchmarks/panda_spatial_eq.py).  Watchdog-guarded."""
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError(f"panda7 row exceeded {budget_s}s watchdog")
+
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(budget_s)
+    try:
+        from ddp_tpu.models import base
+        from ddp_tpu.models.robots import ee_frame_id, panda7
+        from ddp_tpu.ocp import constraints, costs, dynamics
+        from ddp_tpu.ocp.problem import Problem
+        from ddp_tpu.solver.batched import solve_batched
+        from ddp_tpu.solver.solve import SolverParams
+
+        dtype = jnp.float32
+        B, H, iters = 256, 16, 24
+        arm = panda7(dtype=dtype)
+        dyn = dynamics.euler(arm, 0.01)
+        fid = ee_frame_id(arm, "ee")
+        q_ready = jnp.asarray(
+            [0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785], dtype
+        )
+        q_goal = arm.integrate(
+            q_ready, jnp.asarray(0.04 * np.arange(1.0, 8.0), dtype)
+        )
+        con = constraints.advance_time(
+            constraints.FrameTarget(
+                model=arm, target=arm.frame_position(fid, q_goal),
+                frame_id=fid, active_ts=(H,),
+            ),
+            dyn, times=2,
+        )  # fmt: skip
+        problem = Problem(
+            dynamics=dyn, cost=costs.quad_control(1.0, dtype=dtype),
+            constraint=con, horizon=H, second_order=False,
+        )  # fmt: skip
+        params = SolverParams(
+            max_iterations=iters, threshold=1e-5, mu=1e4, inner_iters_max=1
+        )
+        rng = np.random.default_rng(0)
+        x0 = base.state_pack(q_ready, jnp.zeros(arm.nv, dtype))
+        x0s = jnp.asarray(
+            np.asarray(x0)[None] + 0.05 * rng.standard_normal((B, problem.nx)),
+            dtype,
+        )
+        zero_v = jnp.zeros(arm.nv, dtype)
+        grav = jax.vmap(lambda q: arm.rnea(q, zero_v, zero_v))(x0s[:, : arm.nq])
+        us0 = jnp.tile(grav[:, None, :], (1, H, 1))
+        fn = jax.jit(
+            lambda x, u: solve_batched(
+                problem, params, x, us_init=u, backward="pallas",
+                matmul_precision="highest", n_linesearch=8, forward="seq",
+                deriv="pallas",
+            )  # fmt: skip
+        )
+        r = fn(x0s, us0)
+        jax.block_until_ready(r.us)
+        frac = float(jnp.mean((r.opt_constr < 1e-2).astype(jnp.float32)))
+        p99 = float(jnp.percentile(r.opt_constr, 99))
+        t0 = time.perf_counter()
+        r = fn(x0s, us0)
+        jax.block_until_ready(r.us)
+        dt = time.perf_counter() - t0
+        return {
+            "solves_per_s": round(B / dt, 1), "B": B, "iters": iters,
+            "frac_feasible_1e-2": round(frac, 4), "p99_constr": f"{p99:.2e}",
+        }  # fmt: skip
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _quadrotor_row(jax, jnp, budget_s: int = 420):
+    """configs[2]-class quaternion-manifold row: freeflyer StateTarget fleet
+    at a bounded budget (B=256, 36 iterations, K=3 — the working recipe,
+    benchmarks/quadrotor_state_eq.py).  Watchdog-guarded."""
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError(f"quadrotor row exceeded {budget_s}s watchdog")
+
+    old = signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(budget_s)
+    try:
+        from ddp_tpu.models import base
+        from ddp_tpu.models.robots import quadrotor
+        from ddp_tpu.ocp import constraints, costs, dynamics
+        from ddp_tpu.ocp.problem import Problem
+        from ddp_tpu.solver.batched import solve_batched
+        from ddp_tpu.solver.solve import SolverParams
+
+        dtype = jnp.float32
+        B, H, iters = 256, 32, 36
+        quad = quadrotor(dtype=dtype)
+        dyn = dynamics.euler(quad, 0.02)
+        q0 = quad.neutral_configuration()
+        q_goal = quad.integrate(
+            q0, jnp.asarray([0.3, -0.2, 0.4, 0.0, 0.0, 0.2], dtype)
+        )
+        x_goal = base.state_pack(q_goal, jnp.zeros(quad.nv, dtype))
+        con = constraints.advance_time(
+            constraints.StateTarget(model=quad, target=x_goal, active_ts=(H,)),
+            dyn, times=2,
+        )  # fmt: skip
+        problem = Problem(
+            dynamics=dyn, cost=costs.quad_control(1.0, dtype=dtype),
+            constraint=con, horizon=H, second_order=False,
+        )  # fmt: skip
+        params = SolverParams(
+            max_iterations=iters, threshold=1e-5, mu=1e4, inner_iters_max=3
+        )
+        rng = np.random.default_rng(0)
+        x0 = base.state_pack(q0, jnp.zeros(quad.nv, dtype))
+        dxs = 0.05 * rng.standard_normal((B, 2 * quad.nv)).astype(np.float32)
+        x0s = jax.vmap(lambda d: base.state_integrate(quad, x0, d))(
+            jnp.asarray(dxs, dtype)
+        )
+        zero_v = jnp.zeros(quad.nv, dtype)
+        grav = jax.vmap(lambda x: quad.rnea(x[: quad.nq], zero_v, zero_v))(x0s)
+        us0 = jnp.tile(grav[:, None, :], (1, H, 1))
+        fn = jax.jit(
+            lambda x, u: solve_batched(
+                problem, params, x, us_init=u, backward="pallas",
+                matmul_precision="highest", n_linesearch=8, forward="seq",
+            )  # fmt: skip
+        )
+        r = fn(x0s, us0)
+        jax.block_until_ready(r.us)
+        frac = float(jnp.mean((r.opt_constr < 1e-2).astype(jnp.float32)))
+        p99 = float(jnp.percentile(r.opt_constr, 99))
+        t0 = time.perf_counter()
+        r = fn(x0s, us0)
+        jax.block_until_ready(r.us)
+        dt = time.perf_counter() - t0
+        return {
+            "solves_per_s": round(B / dt, 1), "B": B, "iters": iters,
+            "frac_feasible_1e-2": round(frac, 4), "p99_constr": f"{p99:.2e}",
+        }  # fmt: skip
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -380,6 +528,16 @@ def main() -> None:
         row["pendulum_T200"] = _t200_row(jax, jnp)
     except Exception as exc:  # noqa: BLE001 — headline must print regardless
         row["pendulum_T200"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    # configs[2]/[3]-class workload rows (VERDICT r4 item 8): bounded-budget
+    # panda7 spatial_eq + quadrotor StateTarget fleets in the same JSON line
+    try:
+        row["panda7_spatial_eq"] = _panda7_row(jax, jnp)
+    except Exception as exc:  # noqa: BLE001 — headline must print regardless
+        row["panda7_spatial_eq"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    try:
+        row["quadrotor_state_eq"] = _quadrotor_row(jax, jnp)
+    except Exception as exc:  # noqa: BLE001 — headline must print regardless
+        row["quadrotor_state_eq"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     # Second BASELINE metric (north_star: "arm MPC latency p50/p99 <10 ms"):
     # UR5 replan device time from a jax.profiler trace — each "XLA Modules"
     # event on the TPU plane is one on-device execution of the jitted replan
