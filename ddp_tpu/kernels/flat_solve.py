@@ -2,27 +2,34 @@
 
 The batched pendulum-class solve is dependency-latency bound: ~1,500
 dependent kernel executions per 8-iteration solve batch (rollout scans,
-Riccati sweep, two adjoint scans, ~6 elementwise stages per iteration) whose
-per-step work sits far below the chip's latency floor — measured 13% of the
-bandwidth speed-of-light at B=4096 (docs/DESIGN.md "Speed-of-light
-accounting").  The Pallas backward removed one stage's launches; this kernel
-removes ALL of them: derivative sweep, backward pass, line-searched forward
-rollouts, multiplier updates, and the optimality adjoints for the full
-fixed iteration budget run inside a single kernel with the batch on the TPU
-lane axis, touching HBM only for x0 in and results out.
+Riccati sweep, two adjoint scans, ~6 elementwise stages per iteration)
+whose per-step work sits far below the chip's latency floor — measured 13%
+of the bandwidth speed-of-light at B=4096 (docs/DESIGN.md "Speed-of-light
+accounting").  The Pallas backward removed one stage's launches; this
+kernel removes ALL of them: derivative sweep, backward pass, line-searched
+forward rollouts, multiplier schedule, and the optimality adjoints for the
+full fixed iteration budget run inside one kernel with the batch on the
+TPU lane axis, touching HBM only for x0 in and results out.  A probe of
+the op-issue cost (benchmarks/flat_probe.py) measures 0.4-1.6 cycles per
+dependent [4096]-wide VPU op with ~25 µs launch overhead — order-of-
+magnitude headroom over the launch-chain floor.
+
+Structure: the time loops (derivative+Riccati reverse sweep, rollouts,
+adjoints, origin updates) are `lax.fori_loop`s over [T, rows, B] VMEM
+refs — a fully unrolled first version was exact but its ~10⁵-op straight-
+line program was SIGKILLed by the Mosaic compiler at production shapes;
+the looped form traces/compiles ~50× smaller with the same executed ops.
+Constraint rows are hoisted out of the loops (single-active-step
+schedules): evaluated once per iteration at the static active timestep,
+stored, and applied inside the loops behind a (t == ta) mask.
 
 Scope: "flat-lane" problems (the linesearch_flat.py class) — closed-form
 vector-space models whose dynamics/cost/constraint are cheap elementwise
 chains (pendulum/cartpole/acrobot), Gauss-Newton mode, the static-flow
-schedule of solver/batched.py.  Semantics mirror solve_batched(...,
-n_reg_levels=1, forward='sweep'/'seq' acceptance): same gates, same
-safeguards, same accepted steps — parity pinned by
-tests/test_flat_solve.py against solve_batched in f64 interpret mode.
-
-Layout: every per-sample scalar is one [B] lane vector; the whole batch is
-ONE grid block (B ≤ ~8k fits VMEM at pendulum dims with the raised scoped
-limit), so each of the ~10⁵ straight-line VPU ops processes all B lanes in
-a few cycles with zero launch overhead in between.
+schedule of solver/batched.py with n_reg_levels=1 and the parallel-sweep
+line-search acceptance (largest accepted step of the 2^-c ladder).
+Parity vs solve_batched is pinned by tests/test_flat_solve.py (f64
+interpret mode).
 
 ≙ ddp.hpp:744-842 (outer loop) + ddp_bwd.ipp + ddp_fwd.ipp as one TPU
 program.
@@ -44,17 +51,29 @@ from ddp_tpu.kernels.riccati_small import _chol_solve_unrolled
 
 
 def _solve_kernel(
+    # inputs
     x0_ref,  # [nx, B]
-    us0_ref,  # [T*m, B]
+    us0_ref,  # [T, m, B]
     pvec_ref,  # [P, B] packed problem leaves
-    scal_ref,  # [4, B]: mu0, reg0, w0, n0 (per-lane warm-startable)
-    us_out,  # [T*m, B]
-    xs_out,  # [(T+1)*nx, B]
-    fbk_out,  # [T*m, B]
-    fbK_out,  # [T*m*nx, B]
-    stats_out,  # [6, B]: oc, olag, mu, reg, w, n
-    mval_out,  # [Ta_e, B] multiplier values (Ta_e = max(T*e, 1))
-    mjac_out,  # [Ta_e*nx, B]
+    scal_ref,  # [4, B]: mu0, reg0, w0, n0
+    # outputs (also used as working storage)
+    us_ref,  # [T, m, B]
+    xs_ref,  # [T+1, nx, B]
+    fbk_ref,  # [T, m, B]
+    fbK_ref,  # [T, m*nx, B]
+    stats_ref,  # [6, B]: oc, olag, mu, reg, w, n
+    mval_ref,  # [T, e_k, B]
+    mjac_ref,  # [T, e_k*nx, B]
+    # scratch
+    k_ref,  # [T, m, B]
+    K_ref,  # [T, m*nx, B]
+    xc_ref,  # [T+1, nx, B] candidate rollout
+    uc_ref,  # [T, m, B]
+    morig_ref,  # [T, nx, B]
+    fborig_ref,  # [T, nx, B]
+    eqr_ref,  # [e_k*(1+nz), B] hoisted eq rows at the active step
+    Vx_ref,  # [nx, B]
+    Vxx_ref,  # [nx*nx, B]
     *,
     T,
     nx,  # == ndx (vector space)
@@ -63,52 +82,46 @@ def _solve_kernel(
     n_iters,
     n_ls,
     rebuild,
-    mask,  # static np [T, e] 0/1
-    active,  # static tuple of active timesteps
-    affine,  # method is PRIMAL_DUAL_AFFINE
-    primal,  # method is PRIMAL (drops multiplier feedback in updates)
+    ta,  # the single active timestep (static; -1 = unconstrained)
+    mrow,  # static [e] 0/1 mask at ta
+    affine,
+    primal,
     threshold,
     w_min,
     mu_factor,
-    mu_max,  # None or float
-    mult_max,  # None or float
-    inner_max,  # None or int (params.inner_iters_max)
+    mu_max,
+    mult_max,
+    inner_max,
 ):
     B = x0_ref.shape[-1]
     dtype = x0_ref.dtype
     nz = nx + m
     pv = pvec_ref[...]
+    zero = x0_ref[0, :] * 0.0
+    one_ = zero + 1.0
 
-    def vl(f, n_in):
-        # batch LAST on every output rank ([nz,B], [nz,nz,B], [nx,nz,B], …)
-        return jax.vmap(f, in_axes=(1,) * n_in, out_axes=-1)
+    def f(c):
+        return float(c)
+
+    def vl(fn, n_in):
+        # batch LAST on every output rank
+        return jax.vmap(fn, in_axes=(1,) * n_in, out_axes=-1)
 
     def dyn_t(t, x, u):
-        """x [nx,B], u [m,B] → x' [nx,B]."""
         return vl(lambda pc, xc, uc: rebuild(pc).dynamics(t, xc, uc), 3)(pv, x, u)
 
     def stage_t(t, x, u):
-        inner = jax.vmap(
+        return jax.vmap(
             lambda pc, xc, uc: rebuild(pc).cost.stage(t, xc, uc),
             in_axes=(1, 1, 1), out_axes=0,
-        )  # fmt: skip
-        return inner(pv, x, u)  # [B]
+        )(pv, x, u)  # fmt: skip
 
     def term_cost(x):
         return jax.vmap(
             lambda pc, xc: rebuild(pc).cost.terminal(xc), in_axes=(1, 1), out_axes=0
         )(pv, x)
 
-    def eq_t(t, x, u):
-        return vl(lambda pc, xc, uc: rebuild(pc).constraint.value(t, xc, uc), 3)(
-            pv, x, u
-        )
-
     def derivs_t(t, x, u):
-        """Per-lane first-order rows + cost Hessian via jacfwd of the local
-        maps (GN: dynamics/constraint Hessians zero — ≙ problem.derivatives
-        second_order=False)."""
-
         def one(pc, xc, uc):
             prob = rebuild(pc)
 
@@ -119,98 +132,16 @@ def _solve_kernel(
                 return prob.dynamics(t, xc + z[:nx], uc + z[nx:])
 
             z0 = jnp.zeros((nz,), dtype)
-            lz = jax.jacfwd(gl)(z0)
-            lzz = jax.jacfwd(jax.jacfwd(gl))(z0)
-            fz = jax.jacfwd(gf)(z0)
-            return lz, lzz, fz
+            return (
+                jax.jacfwd(gl)(z0),
+                jax.jacfwd(jax.jacfwd(gl))(z0),
+                jax.jacfwd(gf)(z0),
+            )
 
-        lz, lzz, fz = vl(one, 3)(pv, x, u)
-        return lz, lzz, fz  # [nz,B], [nz,nz,B], [nx,nz,B]
+        return vl(one, 3)(pv, x, u)  # [nz,B], [nz,nz,B], [nx,nz,B]
 
-    def eq_derivs_t(t, x, u):
-        def one(pc, xc, uc):
-            prob = rebuild(pc)
-
-            def ge(z):
-                return prob.constraint.value(t, xc + z[:nx], uc + z[nx:])
-
-            z0 = jnp.zeros((nz,), dtype)
-            return jax.jacfwd(ge)(z0)
-
-        return vl(one, 3)(pv, x, u)  # [e, nz, B]
-
-    zero = x0_ref[0, :] * 0.0
-    one_ = zero + 1.0
-
-    def f(c):
-        return float(c)
-
-    # ---------------- state (Python lists of [B] lane vectors) -------------
-    xs = [[None] * nx for _ in range(T + 1)]
-    us = [[us0_ref[t * m + j, :] for j in range(m)] for t in range(T)]
-    for i in range(nx):
-        xs[0][i] = x0_ref[i, :]
-    for t in range(T):
-        nxt = dyn_t(t, jnp.stack(xs[t]), jnp.stack(us[t]))
-        for i in range(nx):
-            xs[t + 1][i] = nxt[i]
-
-    # multipliers: val 0, jac 0, origin = xs[:-1]  (init_multipliers)
-    mval = [[zero for _ in range(e)] for _ in range(T)]
-    mjac = [[[zero for _ in range(nx)] for _ in range(e)] for _ in range(T)]
-    morig = [[xs[t][i] for i in range(nx)] for t in range(T)]
-    fbk = [[zero for _ in range(m)] for _ in range(T)]
-    fbK = [[[zero for _ in range(nx)] for _ in range(m)] for _ in range(T)]
-    fborig = [[xs[t][i] for i in range(nx)] for t in range(T)]
-
-    mu = scal_ref[0, :]
-    reg = scal_ref[1, :]
-    w = scal_ref[2, :]
-    n_tol = scal_ref[3, :]
-    oo_prev = zero + jnp.inf
-    just_changed = one_  # float 0/1 mask
-    inner = one_  # counts inner iterations since last (p, μ) change
-
-    # ---------------- stage primitives ------------------------------------
-    def compute_derivs(xs, us):
-        """Returns dict of per-t lists mirroring Derivs rows (GN)."""
-        d = {"lz": [], "lzz": [], "fz": [], "eq": [], "eqz": []}
-        for t in range(T):
-            x, u = jnp.stack(xs[t]), jnp.stack(us[t])
-            lz, lzz, fz = derivs_t(t, x, u)
-            d["lz"].append([lz[i] for i in range(nz)])
-            d["lzz"].append([[lzz[i, j] for j in range(nz)] for i in range(nz)])
-            d["fz"].append([[fz[i, j] for j in range(nz)] for i in range(nx)])
-            if e and t in active:
-                ev = eq_t(t, x, u)
-                ez = eq_derivs_t(t, x, u)
-                d["eq"].append([ev[a] * f(mask[t][a]) for a in range(e)])
-                d["eqz"].append(
-                    [[ez[a, j] * f(mask[t][a]) for j in range(nz)] for a in range(e)]
-                )
-            else:
-                d["eq"].append([zero] * e)
-                d["eqz"].append([[zero] * nz for _ in range(e)])
-        return d
-
-    def update_origin(val, jac, orig, xs):
-        """val += jac·(x_new − origin); origin = x_new (vector space)."""
-        for t in range(T):
-            d_ = [xs[t][i] - orig[t][i] for i in range(nx)]
-            for a in range(len(val[t])):
-                s = val[t][a]
-                for i in range(nx):
-                    s = s + jac[t][a][i] * d_[i]
-                val[t][a] = s
-            orig[t] = [xs[t][i] for i in range(nx)]
-        return val, jac, orig
-
-    def backward(d, mval, mjac, mu, reg):
-        """≙ _backward_sweep (batched.py:99-150), per-lane; returns
-        (k, K, ok_mask[B])."""
-        Vx = [zero] * nx  # lfx = terminal cost grad: computed below
-        # terminal derivatives of cost.terminal (vector space)
-        def term_one(pc, xc):
+    def term_grads(x):
+        def one(pc, xc):
             prob = rebuild(pc)
 
             def gt(dx):
@@ -219,25 +150,105 @@ def _solve_kernel(
             z0 = jnp.zeros((nx,), dtype)
             return jax.jacfwd(gt)(z0), jax.jacfwd(jax.jacfwd(gt))(z0)
 
-        lfx, lfxx = vl(term_one, 2)(pv, jnp.stack(xs_cur[T]))
-        Vx = [lfx[i] for i in range(nx)]
-        Vxx = [[lfxx[i, j] for j in range(nx)] for i in range(nx)]
-        ks = [None] * T
-        Ks = [None] * T
-        ok = one_
-        for t in reversed(range(T)):
-            lz = d["lz"][t]
-            lzz = d["lzz"][t]
-            fz = d["fz"][t]
-            eqv = d["eq"][t]
-            eqz = d["eqz"][t]
-            pe = mval[t]
-            pex = mjac[t]
-            tmp = [pe[a] + mu * eqv[a] for a in range(e)]
+        return vl(one, 2)(pv, x)  # [nx,B], [nx,nx,B]
+
+    def hoist_eq():
+        """Evaluate constraint value + Jacobian at the static active step on
+        the CURRENT (xs, us) and store into eqr_ref (masked rows)."""
+        if ta < 0 or e == 0:
+            return
+        x = xs_ref[ta]
+        u = us_ref[ta]
+        ev = vl(lambda pc, xc, uc: rebuild(pc).constraint.value(ta, xc, uc), 3)(
+            pv, x, u
+        )
+
+        def one(pc, xc, uc):
+            prob = rebuild(pc)
+
+            def ge(z):
+                return prob.constraint.value(ta, xc + z[:nx], uc + z[nx:])
+
+            return jax.jacfwd(ge)(jnp.zeros((nz,), dtype))
+
+        ez = vl(one, 3)(pv, x, u)  # [e, nz, B]
+        for a in range(e):
+            eqr_ref[a * (1 + nz), :] = ev[a] * f(mrow[a])
+            for j in range(nz):
+                eqr_ref[a * (1 + nz) + 1 + j, :] = ez[a, j] * f(mrow[a])
+
+    def eq_rows(t):
+        """(eqv [e][B], eqz [e][nz][B]) at traced t via the hoisted rows."""
+        sel = jnp.where(t == ta, one_, zero) if ta >= 0 else zero
+        eqv = [eqr_ref[a * (1 + nz), :] * sel for a in range(e)]
+        eqz = [
+            [eqr_ref[a * (1 + nz) + 1 + j, :] * sel for j in range(nz)]
+            for a in range(e)
+        ]
+        return eqv, eqz
+
+    # ---------------- pre-loop rollout + init ------------------------------
+    for i in range(nx):
+        xs_ref[0, i] = x0_ref[i, :]
+
+    def init_roll(t, _):
+        u = us0_ref[t]
+        for j in range(m):
+            us_ref[t, j] = u[j]
+        x1 = dyn_t(t, xs_ref[t], u)
+        for i in range(nx):
+            xs_ref[t + 1, i] = x1[i]
+        # multipliers zero, origins = x_t; feedback zero
+        for a in range(e):
+            mval_ref[t, a] = zero
+            for i in range(nx):
+                mjac_ref[t, a * nx + i] = zero
+        for i in range(nx):
+            morig_ref[t, i] = xs_ref[t, i]
+            fborig_ref[t, i] = xs_ref[t, i]
+        for j in range(m):
+            fbk_ref[t, j] = zero
+            for i in range(nx):
+                fbK_ref[t, j * nx + i] = zero
+        return 0
+
+    jax.lax.fori_loop(0, T, init_roll, 0)
+
+    mu = scal_ref[0, :]
+    reg = scal_ref[1, :]
+    w = scal_ref[2, :]
+    n_tol = scal_ref[3, :]
+    oo_prev = zero + jnp.inf
+    just_changed = one_
+    inner = one_
+
+    # ---------------- stages ----------------------------------------------
+    def backward(mu_, reg_):
+        """Fused derivative+Riccati reverse sweep; writes k_ref/K_ref,
+        carries (Vx, Vxx) in scratch; returns per-lane ok mask."""
+        lfx, lfxx = term_grads(xs_ref[T])
+        for i in range(nx):
+            Vx_ref[i] = lfx[i]
+            for j in range(nx):
+                Vxx_ref[i * nx + j] = lfxx[i, j]
+
+        def body(it, ok):
+            t = T - 1 - it
+            x = xs_ref[t]
+            u = us_ref[t]
+            lz_a, lzz_a, fz_a = derivs_t(t, x, u)
+            lz = [lz_a[i] for i in range(nz)]
+            lzz = [[lzz_a[i, j] for j in range(nz)] for i in range(nz)]
+            fz = [[fz_a[i, j] for j in range(nz)] for i in range(nx)]
+            eqv, eqz = eq_rows(t)
+            pe = [mval_ref[t, a] for a in range(e)]
+            pex = [[mjac_ref[t, a * nx + i] for i in range(nx)] for a in range(e)]
+            Vx = [Vx_ref[i] for i in range(nx)]
+            Vxx = [[Vxx_ref[i * nx + j] for j in range(nx)] for i in range(nx)]
+            tmp = [pe[a] + mu_ * eqv[a] for a in range(e)]
             tmp2 = [
-                [pex[a][j] + mu * eqz[a][j] for j in range(nx)] for a in range(e)
+                [pex[a][j] + mu_ * eqz[a][j] for j in range(nx)] for a in range(e)
             ]
-            # Qx / Qu
             Qz = []
             for i in range(nz):
                 s = lz[i]
@@ -249,12 +260,10 @@ def _solve_kernel(
                     Qz[i] = Qz[i] + eqz[a][i] * tmp[a] + pex[a][i] * eqv[a]
                 for i in range(m):
                     Qz[nx + i] = Qz[nx + i] + eqz[a][nx + i] * tmp[a]
-            # Vxx·fz  [nx][nz]
             Vf = [
                 [sum(Vxx[o][r] * fz[r][j] for r in range(nx)) for j in range(nz)]
                 for o in range(nx)
             ]
-            # Qzz = lzz + fzᵀ(Vxx fz) + AL terms
             Qzz = [[None] * nz for _ in range(nz)]
             for i in range(nz):
                 for j in range(nz):
@@ -271,15 +280,17 @@ def _solve_kernel(
                             + pex[a][i] * eqz[a][j]
                         )
                     for i2 in range(m):
-                        Qzz[nx + i2][i] = Qzz[nx + i2][i] + eqz[a][nx + i2] * tmp2[a][i]
+                        Qzz[nx + i2][i] = (
+                            Qzz[nx + i2][i] + eqz[a][nx + i2] * tmp2[a][i]
+                        )
                 for i2 in range(m):
                     for j2 in range(m):
                         Qzz[nx + i2][nx + j2] = (
                             Qzz[nx + i2][nx + j2]
-                            + mu * eqz[a][nx + i2] * eqz[a][nx + j2]
+                            + mu_ * eqz[a][nx + i2] * eqz[a][nx + j2]
                         )
             Quu = [
-                [Qzz[nx + i][nx + j] + (reg if i == j else 0.0) for j in range(m)]
+                [Qzz[nx + i][nx + j] + (reg_ if i == j else 0.0) for j in range(m)]
                 for i in range(m)
             ]
             rhss = [[Qz[nx + i] for i in range(m)]] + [
@@ -288,189 +299,238 @@ def _solve_kernel(
             sols, L = _chol_solve_unrolled(Quu, rhss, m, 0.0)
             k_sol = sols[0]
             K_cols = sols[1:]
+            ok_t = one_
             for i in range(m):
                 good = jnp.logical_and(L[i][i] > 0.0, jnp.isfinite(L[i][i]))
-                ok = ok * jnp.where(good, 1.0, 0.0).astype(dtype)
-            ks[t] = [-k_sol[i] for i in range(m)]
-            Ks[t] = [[-K_cols[jx][i] for jx in range(nx)] for i in range(m)]
-            # V updates (note ks/Ks already negated)
-            Vx_new = []
+                ok_t = ok_t * jnp.where(good, 1.0, 0.0).astype(dtype)
+            for i in range(m):
+                k_ref[t, i] = -k_sol[i]
+                for jx in range(nx):
+                    K_ref[t, i * nx + jx] = -K_cols[jx][i]
             for i in range(nx):
                 s = Qz[i]
                 for o in range(m):
-                    s = s + Qzz[nx + o][i] * ks[t][o]
-                Vx_new.append(s)
-            Vxx_new = [[None] * nx for _ in range(nx)]
+                    s = s - Qzz[nx + o][i] * k_sol[o]
+                Vx_ref[i] = s
             for i in range(nx):
                 for j in range(nx):
                     s = Qzz[i][j]
                     for o in range(m):
-                        s = s + Qzz[nx + o][i] * Ks[t][o][j]
-                    Vxx_new[i][j] = s
-            Vx, Vxx = Vx_new, Vxx_new
-        return ks, Ks, ok
+                        s = s - Qzz[nx + o][i] * K_cols[j][o]
+                    Vxx_ref[i * nx + j] = s
+            return ok * ok_t
 
-    def al_cost(xs_c, us_c, mval, mjac, morig, mu):
-        """Σ_t l + p(x)·ce + (μ/2)‖ce‖² + lf  → [B]."""
+        return jax.lax.fori_loop(0, T, body, one_)
+
+    def al_penalty(xs_like_ref, mu_):
+        """Constraint penalty of the trajectory in xs_like_ref at the static
+        active step: p(x)·ce + (μ/2)‖ce‖² (+ eq from scratch at that x)."""
+        if ta < 0 or e == 0:
+            return zero
+        x = xs_like_ref[ta]
+        u_ref = uc_ref if xs_like_ref is xc_ref else us_ref
+        u = u_ref[ta]
+        ce = vl(lambda pc, xc, uc2: rebuild(pc).constraint.value(ta, xc, uc2), 3)(
+            pv, x, u
+        )
         total = zero
-        for t in range(T):
-            total = total + stage_t(t, jnp.stack(xs_c[t]), jnp.stack(us_c[t]))
-            if e and t in active:
-                ce = eq_t(t, jnp.stack(xs_c[t]), jnp.stack(us_c[t]))
-                for a in range(e):
-                    cea = ce[a] * f(mask[t][a])
-                    p = mval[t][a]
-                    for i in range(nx):
-                        p = p + mjac[t][a][i] * (xs_c[t][i] - morig[t][i])
-                    total = total + p * cea + 0.5 * mu * cea * cea
-        return total + term_cost(jnp.stack(xs_c[T]))
+        for a in range(e):
+            cea = ce[a] * f(mrow[a])
+            p = mval_ref[ta, a]
+            for i in range(nx):
+                p = p + mjac_ref[ta, a * nx + i] * (x[i] - morig_ref[ta, i])
+            total = total + p * cea + 0.5 * mu_ * cea * cea
+        return total
 
-    def rollout(step, ks, Ks, xs_old, us_old):
-        xs_c = [[None] * nx for _ in range(T + 1)]
-        us_c = [[None] * m for _ in range(T)]
-        xs_c[0] = [xs_old[0][i] for i in range(nx)]
-        for t in range(T):
-            dx = [xs_c[t][i] - xs_old[t][i] for i in range(nx)]
+    def incumbent_cost(mu_):
+        def body(t, acc):
+            return acc + stage_t(t, xs_ref[t], us_ref[t])
+
+        c = jax.lax.fori_loop(0, T, body, zero)
+        return c + term_cost(xs_ref[T]) + al_penalty(xs_ref, mu_)
+
+    def rollout(step):
+        """Roll xc/uc at per-lane step (feedback about xs/us + k/K); returns
+        the stage-cost sum (penalty/terminal added by caller)."""
+        for i in range(nx):
+            xc_ref[0, i] = xs_ref[0, i]
+
+        def body(t, acc):
+            x = xc_ref[t]
+            dx = [x[i] - xs_ref[t, i] for i in range(nx)]
+            u_rows = []
             for j in range(m):
-                s = us_old[t][j] + step * ks[t][j]
+                s = us_ref[t, j] + step * k_ref[t, j]
                 for i in range(nx):
-                    s = s + Ks[t][j][i] * dx[i]
-                us_c[t][j] = s
-            nxt = dyn_t(t, jnp.stack(xs_c[t]), jnp.stack(us_c[t]))
-            xs_c[t + 1] = [nxt[i] for i in range(nx)]
-        return xs_c, us_c
+                    s = s + K_ref[t, j * nx + i] * dx[i]
+                uc_ref[t, j] = s
+                u_rows.append(s)
+            u = jnp.stack(u_rows)
+            x1 = dyn_t(t, x, u)
+            for i in range(nx):
+                xc_ref[t + 1, i] = x1[i]
+            return acc + stage_t(t, x, u)
 
-    def linesearch(ks, Ks, xs_old, us_old, mval, mjac, morig, mu):
-        """Largest accepted step of the 2^-c ladder; per-lane select.
-        ≙ _linesearch_sweep semantics (batched.py:280-317)."""
-        cost_old = al_cost(xs_old, us_old, mval, mjac, morig, mu)
+        return jax.lax.fori_loop(0, T, body, zero)
+
+    def linesearch(mu_, ok):
+        cost_old = incumbent_cost(mu_)
         chosen = zero
         taken = zero
         for c in range(n_ls):
             step = zero + f(2.0 ** (-c))
-            xs_c, us_c = rollout(step, ks, Ks, xs_old, us_old)
-            acc = jnp.where(
-                al_cost(xs_c, us_c, mval, mjac, morig, mu) - cost_old <= 0.0,
-                1.0, 0.0,
-            ).astype(dtype)  # fmt: skip
+            cost_c = rollout(step) + term_cost(xc_ref[T]) + al_penalty(xc_ref, mu_)
+            acc = jnp.where(cost_c - cost_old <= 0.0, 1.0, 0.0).astype(dtype)
             newly = acc * (1.0 - taken)
             chosen = chosen + newly * f(2.0 ** (-c))
             taken = jnp.maximum(taken, acc)
-        # one final rollout at the per-lane chosen step (step 0 where none
-        # accepted reproduces the incumbent exactly, incl. NaN-free lanes)
-        xs_n, us_n = rollout(chosen, ks, Ks, xs_old, us_old)
-        for t in range(T):
-            for j in range(m):
-                us_n[t][j] = jnp.where(taken > 0, us_n[t][j], us_old[t][j])
-            for i in range(nx):
-                xs_n[t + 1][i] = jnp.where(taken > 0, xs_n[t + 1][i], xs_old[t + 1][i])
-        return xs_n, us_n, chosen
+        rollout(chosen)
+        keep = ok * taken  # accept only ok lanes with an accepted step
 
-    def opt_measures(d, mval, mjac, mu):
-        """(opt_obj, opt_constr, opt_lag) per lane — al.py adjoints."""
+        def commit(t, _):
+            for j in range(m):
+                us_ref[t, j] = jnp.where(keep > 0, uc_ref[t, j], us_ref[t, j])
+            for i in range(nx):
+                xs_ref[t + 1, i] = jnp.where(
+                    keep > 0, xc_ref[t + 1, i], xs_ref[t + 1, i]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, T, commit, 0)
+        return chosen * taken
+
+    def commit_fb(ok):
+        def body(t, _):
+            for j in range(m):
+                fbk_ref[t, j] = jnp.where(ok > 0, k_ref[t, j], fbk_ref[t, j])
+                for i in range(nx):
+                    fbK_ref[t, j * nx + i] = jnp.where(
+                        ok > 0, K_ref[t, j * nx + i], fbK_ref[t, j * nx + i]
+                    )
+            for i in range(nx):
+                fborig_ref[t, i] = jnp.where(
+                    ok > 0, xs_ref[t, i], fborig_ref[t, i]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+
+    def update_origin_mults():
+        def body(t, _):
+            d_ = [xs_ref[t, i] - morig_ref[t, i] for i in range(nx)]
+            for a in range(e):
+                s = mval_ref[t, a]
+                for i in range(nx):
+                    s = s + mjac_ref[t, a * nx + i] * d_[i]
+                mval_ref[t, a] = s
+            for i in range(nx):
+                morig_ref[t, i] = xs_ref[t, i]
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+
+    def update_origin_fb():
+        def body(t, _):
+            d_ = [xs_ref[t, i] - fborig_ref[t, i] for i in range(nx)]
+            for j in range(m):
+                s = fbk_ref[t, j]
+                for i in range(nx):
+                    s = s + fbK_ref[t, j * nx + i] * d_[i]
+                fbk_ref[t, j] = s
+            for i in range(nx):
+                fborig_ref[t, i] = xs_ref[t, i]
+            return 0
+
+        jax.lax.fori_loop(0, T, body, 0)
+
+    def opt_measures(mu_):
+        """(opt_obj, opt_constr, opt_lag): reverse adjoint fori_loop."""
         oc = zero
-        for t in active:
+        if ta >= 0 and e:
             s = zero
             for a in range(e):
-                s = s + d["eq"][t][a] * d["eq"][t][a]
-            oc = jnp.maximum(oc, jnp.sqrt(s))
-        adj_o = [zero] * nx  # lfx assumed handled via terminal grad below
-        adj_l = [zero] * nx
+                va = eqr_ref[a * (1 + nz), :]
+                s = s + va * va
+            oc = jnp.sqrt(s)
+        lfx, _ = term_grads(xs_ref[T])
+        adj = jnp.concatenate(
+            [jnp.stack([lfx[i] for i in range(nx)])] * 2
+        )  # [2*nx, B]: rows 0..nx-1 = obj adjoint, nx.. = lag adjoint
 
-        def term_grad():
-            def one(pc, xc):
-                prob = rebuild(pc)
-
-                def gt(dx):
-                    return prob.cost.terminal(xc + dx)
-
-                return jax.jacfwd(gt)(jnp.zeros((nx,), dtype))
-
-            g = vl(one, 2)(pv, jnp.stack(xs_cur[T]))
-            return [g[i] for i in range(nx)]
-
-        adj_o = term_grad()
-        adj_l = [adj_o[i] for i in range(nx)]
-        oo = zero
-        olag = zero
-        for t in reversed(range(T)):
-            lz = d["lz"][t]
-            fz = d["fz"][t]
-            eqv = d["eq"][t]
-            eqz = d["eqz"][t]
-            pe = mval[t]
-            pex = mjac[t]
-            lu_o = []
-            lu_l = []
-            for i in range(m):
-                so = lz[nx + i]
-                sl = lz[nx + i]
-                for a in range(e):
-                    so = so + eqz[a][nx + i] * (pe[a] + mu * eqv[a])
-                    sl = sl + eqz[a][nx + i] * pe[a]
-                for o in range(nx):
-                    so = so + fz[o][nx + i] * adj_o[o]
-                    sl = sl + fz[o][nx + i] * adj_l[o]
-                lu_o.append(so)
-                lu_l.append(sl)
+        def body(it, carry):
+            t = T - 1 - it
+            adj, oo, olag = carry
+            x = xs_ref[t]
+            u = us_ref[t]
+            lz_a, _, fz_a = derivs_t(t, x, u)
+            eqv, eqz = eq_rows(t)
+            pe = [mval_ref[t, a] for a in range(e)]
+            pex = [[mjac_ref[t, a * nx + i] for i in range(nx)] for a in range(e)]
+            a_o = [adj[i] for i in range(nx)]
+            a_l = [adj[nx + i] for i in range(nx)]
             so = zero
             sl = zero
             for i in range(m):
-                so = so + lu_o[i] * lu_o[i]
-                sl = sl + lu_l[i] * lu_l[i]
+                vo = lz_a[nx + i]
+                vel = lz_a[nx + i]
+                for a in range(e):
+                    vo = vo + eqz[a][nx + i] * (pe[a] + mu_ * eqv[a])
+                    vel = vel + eqz[a][nx + i] * pe[a]
+                for o in range(nx):
+                    vo = vo + fz_a[o, nx + i] * a_o[o]
+                    vel = vel + fz_a[o, nx + i] * a_l[o]
+                so = so + vo * vo
+                sl = sl + vel * vel
             oo = jnp.maximum(oo, jnp.sqrt(so))
             olag = jnp.maximum(olag, jnp.sqrt(sl))
-            adj_o_new = []
-            adj_l_new = []
+            new_rows = []
             for i in range(nx):
-                ao = lz[i]
-                al_ = lz[i]
+                ao = lz_a[i]
                 for o in range(nx):
-                    ao = ao + fz[o][i] * adj_o[o]
-                    al_ = al_ + fz[o][i] * adj_l[o]
+                    ao = ao + fz_a[o, i] * a_o[o]
                 for a in range(e):
-                    ao = ao + mu * eqz[a][i] * eqv[a] + eqz[a][i] * pe[a] + pex[a][i] * eqv[a]
+                    ao = (
+                        ao
+                        + mu_ * eqz[a][i] * eqv[a]
+                        + eqz[a][i] * pe[a]
+                        + pex[a][i] * eqv[a]
+                    )
+                new_rows.append(ao)
+            for i in range(nx):
+                al_ = lz_a[i]
+                for o in range(nx):
+                    al_ = al_ + fz_a[o, i] * a_l[o]
+                for a in range(e):
                     al_ = al_ + eqz[a][i] * pe[a] + pex[a][i] * eqv[a]
-                adj_o_new.append(ao)
-                adj_l_new.append(al_)
-            adj_o, adj_l = adj_o_new, adj_l_new
+                new_rows.append(al_)
+            return jnp.stack(new_rows), oo, olag
+
+        _, oo, olag = jax.lax.fori_loop(0, T, body, (adj, zero, zero))
         return oo, oc, olag
 
-    # ---------------- pre-loop (solve_batched:669-719) ---------------------
-    xs_cur, us_cur = xs, us
-    d = compute_derivs(xs_cur, us_cur)
-    ks, Ks, ok = backward(d, mval, mjac, mu, reg)
-    xs1, us1, step = linesearch(ks, Ks, xs_cur, us_cur, mval, mjac, morig, mu)
-    fin = one_
-    for t in range(T):
-        for j in range(m):
-            fin = fin * jnp.where(jnp.isfinite(us1[t][j]), 1.0, 0.0).astype(dtype)
-    ok = ok * fin
-    for t in range(T + 1):
-        for i in range(nx):
-            if t > 0:
-                xs_cur[t][i] = jnp.where(ok > 0, xs1[t][i], xs_cur[t][i])
-    for t in range(T):
-        for j in range(m):
-            us_cur[t][j] = jnp.where(ok > 0, us1[t][j], us_cur[t][j])
-            fbk[t][j] = jnp.where(ok > 0, ks[t][j], zero)
-            for i in range(nx):
-                fbK[t][j][i] = jnp.where(ok > 0, Ks[t][j][i], zero)
-        fborig[t] = [xs_cur[t][i] for i in range(nx)]
+    # ---------------- pre-loop backward/forward ----------------------------
+    hoist_eq()
+    ok = backward(mu, reg)
+    linesearch(mu, ok)
+    commit_fb(ok)
     reg = jnp.where(ok > 0, reg, jnp.maximum(reg, mu) * 2.0)
 
-    # ---------------- iterations (solve_batched:721-824) -------------------
+    # ---------------- iterations -------------------------------------------
     for _ in range(n_iters):
-        d = compute_derivs(xs_cur, us_cur)
-        mval, mjac, morig = update_origin(mval, mjac, morig, xs_cur)
+        hoist_eq()
+        update_origin_mults()
         if not affine:
-            mjac = [[[zero] * nx for _ in range(e)] for _ in range(T)]
-        fbk, fbK, fborig = update_origin(fbk, fbK, fborig, xs_cur)
-        oo, oc, olag = opt_measures(d, mval, mjac, mu)
+            for a in range(e):
+                # constant-multiplier methods: jac stays zero (already is)
+                pass
+        update_origin_fb()
+        oo, oc, olag = opt_measures(mu)
         done = jnp.where(
             jnp.logical_and(olag < threshold, oc < threshold), 1.0, 0.0
         ).astype(dtype)
-        plateau = jnp.where(oo >= 0.1 * oo_prev, 1.0, 0.0) * (1.0 - just_changed)
+        plateau = jnp.where(oo >= 0.1 * oo_prev, 1.0, 0.0).astype(dtype) * (
+            1.0 - just_changed
+        )
         gate = jnp.maximum(
             jnp.where(oo < jnp.maximum(w, w_min), 1.0, 0.0).astype(dtype), plateau
         )
@@ -481,27 +541,37 @@ def _solve_kernel(
         upd_s = (1.0 - done) * gate * jnp.where(oc < n_tol, 1.0, 0.0).astype(dtype)
         upd_f = (1.0 - done) * gate * jnp.where(oc >= n_tol, 1.0, 0.0).astype(dtype)
 
-        # AL multiplier update (where-select; PRIMAL drops feedback)
-        for t in active:
+        if ta >= 0 and e:
             for a in range(e):
+                eqv_a = eqr_ref[a * (1 + nz), :]
                 fb_term = zero
                 if not primal:
                     for j in range(m):
-                        fb_term = fb_term + d["eqz"][t][a][nx + j] * fbk[t][j]
-                v_new = mval[t][a] + mu * (d["eq"][t][a] + fb_term)
+                        fb_term = (
+                            fb_term + eqr_ref[a * (1 + nz) + 1 + nx + j, :]
+                            * fbk_ref[ta, j]
+                        )
+                v_new = mval_ref[ta, a] + mu * (eqv_a + fb_term)
                 if mult_max is not None:
                     v_new = jnp.clip(v_new, -f(mult_max), f(mult_max))
-                mval[t][a] = jnp.where(upd_s > 0, v_new, mval[t][a])
+                mval_ref[ta, a] = jnp.where(upd_s > 0, v_new, mval_ref[ta, a])
                 if affine:
                     for i in range(nx):
                         fbj = zero
                         if not primal:
                             for j in range(m):
-                                fbj = fbj + d["eqz"][t][a][nx + j] * fbK[t][j][i]
-                        j_new = mjac[t][a][i] + mu * (d["eqz"][t][a][i] + fbj)
+                                fbj = (
+                                    fbj + eqr_ref[a * (1 + nz) + 1 + nx + j, :]
+                                    * fbK_ref[ta, j * nx + i]
+                                )
+                        j_new = mjac_ref[ta, a * nx + i] + mu * (
+                            eqr_ref[a * (1 + nz) + 1 + i, :] + fbj
+                        )
                         if mult_max is not None:
                             j_new = jnp.clip(j_new, -f(mult_max), f(mult_max))
-                        mjac[t][a][i] = jnp.where(upd_s > 0, j_new, mjac[t][a][i])
+                        mjac_ref[ta, a * nx + i] = jnp.where(
+                            upd_s > 0, j_new, mjac_ref[ta, a * nx + i]
+                        )
         mu_new = jnp.where(upd_f > 0, mu * f(mu_factor), mu)
         if mu_max is not None:
             mu_new = jnp.minimum(mu_new, zero + f(mu_max))
@@ -512,15 +582,8 @@ def _solve_kernel(
         )
         w = jnp.where(upd_s > 0, w / mu, w)
 
-        ks, Ks, ok = backward(d, mval, mjac, mu_new, reg)
-        xs1, us1, step = linesearch(
-            ks, Ks, xs_cur, us_cur, mval, mjac, morig, mu_new
-        )
-        fin = one_
-        for t in range(T):
-            for j in range(m):
-                fin = fin * jnp.where(jnp.isfinite(us1[t][j]), 1.0, 0.0).astype(dtype)
-        ok = ok * fin
+        ok = backward(mu_new, reg)
+        step = linesearch(mu_new, ok)
         reg = jnp.where(
             ok > 0,
             jnp.where(
@@ -530,54 +593,22 @@ def _solve_kernel(
             ),
             jnp.maximum(reg, mu_new) * 2.0,
         )
-        for t in range(T):
-            for j in range(m):
-                fbk[t][j] = jnp.where(ok > 0, ks[t][j], fbk[t][j])
-                for i in range(nx):
-                    fbK[t][j][i] = jnp.where(ok > 0, Ks[t][j][i], fbK[t][j][i])
-            fborig[t] = [
-                jnp.where(ok > 0, xs_cur[t][i], fborig[t][i]) for i in range(nx)
-            ]
-        for t in range(T + 1):
-            if t > 0:
-                for i in range(nx):
-                    xs_cur[t][i] = jnp.where(ok > 0, xs1[t][i], xs_cur[t][i])
-        for t in range(T):
-            for j in range(m):
-                us_cur[t][j] = jnp.where(ok > 0, us1[t][j], us_cur[t][j])
+        commit_fb(ok)
         mu = mu_new
         oo_prev = oo
         just_changed = jnp.maximum(upd_s, upd_f)
         inner = jnp.where(just_changed > 0, one_, inner + 1.0)
 
-    # ---------------- final measures + outputs -----------------------------
-    d = compute_derivs(xs_cur, us_cur)
-    mval, mjac, morig = update_origin(mval, mjac, morig, xs_cur)
-    _, oc, olag = opt_measures(d, mval, mjac, mu)
-    for t in range(T):
-        for j in range(m):
-            us_out[t * m + j, :] = us_cur[t][j]
-            fbk_out[t * m + j, :] = fbk[t][j]
-            for i in range(nx):
-                fbK_out[(t * m + j) * nx + i, :] = fbK[t][j][i]
-    for t in range(T + 1):
-        for i in range(nx):
-            xs_out[t * nx + i, :] = xs_cur[t][i]
-    stats_out[0, :] = oc
-    stats_out[1, :] = olag
-    stats_out[2, :] = mu
-    stats_out[3, :] = reg
-    stats_out[4, :] = w
-    stats_out[5, :] = n_tol
-    if e:
-        for t in range(T):
-            for a in range(e):
-                mval_out[t * e + a, :] = mval[t][a]
-                for i in range(nx):
-                    mjac_out[(t * e + a) * nx + i, :] = mjac[t][a][i]
-    else:
-        mval_out[0, :] = zero
-        mjac_out[0, :] = zero
+    # ---------------- final measures ---------------------------------------
+    hoist_eq()
+    update_origin_mults()
+    _, oc, olag = opt_measures(mu)
+    stats_ref[0, :] = oc
+    stats_ref[1, :] = olag
+    stats_ref[2, :] = mu
+    stats_ref[3, :] = reg
+    stats_ref[4, :] = w
+    stats_ref[5, :] = n_tol
 
 
 def solve_flat_pallas(
@@ -590,9 +621,7 @@ def solve_flat_pallas(
     interpret: bool = False,
 ):
     """One-launch whole-solve for flat-lane problems.  Returns a
-    BatchSolveResult-compatible namespace (xs, us, fb_k, fb_K, opt_constr,
-    opt_lag, mu, mults, reg, w, n) matching solve_batched(...,
-    n_reg_levels=1) semantics."""
+    BatchSolveResult matching solve_batched(..., n_reg_levels=1)."""
     from ddp_tpu.solver import al as al_mod
     from ddp_tpu.solver.batched import BatchSolveResult
     from ddp_tpu.solver.solve import Method
@@ -608,24 +637,33 @@ def solve_flat_pallas(
     T, m, e = problem.horizon, problem.nu, problem.ne
     if nx != problem.ndx:
         raise ValueError("flat solve kernel needs nx == ndx")
+    active = problem.active_ts()
+    if len(active) > 1:
+        raise ValueError(
+            "flat solve kernel supports single-active-step schedules; "
+            "use solve_batched for dense/periodic constraint schedules"
+        )
+    ta = active[0] if active else -1
+    mask = np.asarray(problem.eq_mask())
+    mrow = mask[ta].tolist() if ta >= 0 else [0.0] * e
     dtype = x0s.dtype
     if us_init is None:
         us_init = jnp.zeros((B, T, m), dtype)
 
-    mask = np.asarray(problem.eq_mask())
-    active = problem.active_ts()
     pvec, rebuild = _pack_problem(problem, dtype)
     P = pvec.shape[0]
     eps = jnp.finfo(dtype).eps
     w_min = float(params.w_min) if params.w_min is not None else float(10.0 * eps**0.5)
     w0 = float(params.w) if params.w is not None else 1.0 / params.mu
     n0 = float(params.n) if params.n is not None else params.mu**-0.1
+    nz = nx + m
+    e_k = max(e, 1)
 
     kernel = functools.partial(
         _solve_kernel,
         T=T, nx=nx, m=m, e=e,
         n_iters=params.max_iterations, n_ls=n_linesearch,
-        rebuild=rebuild, mask=mask.tolist(), active=tuple(active),
+        rebuild=rebuild, ta=ta, mrow=mrow,
         affine=method is Method.PRIMAL_DUAL_AFFINE,
         primal=method is Method.PRIMAL,
         threshold=float(params.threshold), w_min=w_min,
@@ -634,7 +672,6 @@ def solve_flat_pallas(
         inner_max=params.inner_iters_max,
     )  # fmt: skip
 
-    Ta_e = max(T * e, 1)
     scal = jnp.stack([
         jnp.full((B,), params.mu, dtype),
         jnp.full((B,), params.reg, dtype),
@@ -642,42 +679,58 @@ def solve_flat_pallas(
         jnp.full((B,), n0, dtype),
     ])  # fmt: skip
 
-    def bs(rows):
+    def bs2(rows):
         return pl.BlockSpec((rows, B), lambda: (0, 0), memory_space=pltpu.VMEM)
+
+    def bs3(nt, rows):
+        return pl.BlockSpec(
+            (nt, rows, B), lambda: (0, 0, 0), memory_space=pltpu.VMEM
+        )
 
     outs = pl.pallas_call(
         kernel,
-        in_specs=[bs(nx), bs(T * m), bs(P), bs(4)],
+        in_specs=[bs2(nx), bs3(T, m), bs2(P), bs2(4)],
         out_specs=(
-            bs(T * m), bs((T + 1) * nx), bs(T * m), bs(T * m * nx),
-            bs(6), bs(Ta_e), bs(Ta_e * nx),
+            bs3(T, m), bs3(T + 1, nx), bs3(T, m), bs3(T, m * nx),
+            bs2(6), bs3(T, e_k), bs3(T, e_k * nx),
         ),  # fmt: skip
         out_shape=(
-            jax.ShapeDtypeStruct((T * m, B), dtype),
-            jax.ShapeDtypeStruct(((T + 1) * nx, B), dtype),
-            jax.ShapeDtypeStruct((T * m, B), dtype),
-            jax.ShapeDtypeStruct((T * m * nx, B), dtype),
+            jax.ShapeDtypeStruct((T, m, B), dtype),
+            jax.ShapeDtypeStruct((T + 1, nx, B), dtype),
+            jax.ShapeDtypeStruct((T, m, B), dtype),
+            jax.ShapeDtypeStruct((T, m * nx, B), dtype),
             jax.ShapeDtypeStruct((6, B), dtype),
-            jax.ShapeDtypeStruct((Ta_e, B), dtype),
-            jax.ShapeDtypeStruct((Ta_e * nx, B), dtype),
+            jax.ShapeDtypeStruct((T, e_k, B), dtype),
+            jax.ShapeDtypeStruct((T, e_k * nx, B), dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((T, m, B), dtype),          # k
+            pltpu.VMEM((T, m * nx, B), dtype),     # K
+            pltpu.VMEM((T + 1, nx, B), dtype),     # xc
+            pltpu.VMEM((T, m, B), dtype),          # uc
+            pltpu.VMEM((T, nx, B), dtype),         # morig
+            pltpu.VMEM((T, nx, B), dtype),         # fborig
+            pltpu.VMEM((e_k * (1 + nz), B), dtype),  # eq rows
+            pltpu.VMEM((nx, B), dtype),            # Vx
+            pltpu.VMEM((nx * nx, B), dtype),       # Vxx
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
         ),
         interpret=interpret,
     )(
         x0s.T,
-        jnp.transpose(us_init, (1, 2, 0)).reshape(T * m, B),
+        jnp.transpose(us_init, (1, 2, 0)),
         jnp.broadcast_to(pvec[:, None], (P, B)),
         scal,
     )
     us_o, xs_o, fbk_o, fbK_o, stats, mval_o, mjac_o = outs
-    us = jnp.transpose(us_o.reshape(T, m, B), (2, 0, 1))
-    xs = jnp.transpose(xs_o.reshape(T + 1, nx, B), (2, 0, 1))
-    fb_k = jnp.transpose(fbk_o.reshape(T, m, B), (2, 0, 1))
+    us = jnp.transpose(us_o, (2, 0, 1))
+    xs = jnp.transpose(xs_o, (2, 0, 1))
+    fb_k = jnp.transpose(fbk_o, (2, 0, 1))
     fb_K = jnp.transpose(fbK_o.reshape(T, m, nx, B), (3, 0, 1, 2))
     if e:
-        mval = jnp.transpose(mval_o.reshape(T, e, B), (2, 0, 1))
+        mval = jnp.transpose(mval_o, (2, 0, 1))
         mjac = jnp.transpose(mjac_o.reshape(T, e, nx, B), (3, 0, 1, 2))
     else:
         mval = jnp.zeros((B, T, 0), dtype)
