@@ -327,10 +327,19 @@ def _linesearch_sweep(
 
 
 def _linesearch_seq(
-    problem, xs, us, k, K, mults, mu, n_candidates, unroll=1, precise=False
+    problem, xs, us, k, K, mults, mu, n_candidates, unroll=1, precise=False,
+    dead=None,
 ):
     """Sequential early-exit line search: walk the step ladder 1, ½, ¼, …
     largest-first and STOP at the first accepted candidate.
+
+    ``dead`` (scalar bool under the per-sample vmap) marks a lane that has
+    given up (solve_batched's give_up_after): it enters the ladder already
+    done, keeps its incumbent trajectory at step 0, and — crucially — stops
+    driving the batched while_loop's trip count.  Without it, one μ-racing
+    lane that rejects every candidate forces the WHOLE fleet through the
+    full ladder every outer iteration (measured 1.6× end-to-end on the
+    panda7 fleet — docs/DESIGN.md "The panda7 f32 tail").
 
     Picks the identical candidate to `_linesearch_sweep` (first accepted =
     largest accepted), but evaluates rollouts lazily: near convergence the
@@ -381,7 +390,8 @@ def _linesearch_seq(
         step_b = jnp.where(acc, step, step_b)
         return i + 1, xs_b, us_b, step_b, acc
 
-    init = (jnp.zeros((), jnp.int32), xs, us, jnp.zeros((), dtype), jnp.zeros((), bool))
+    done0 = jnp.zeros((), bool) if dead is None else dead
+    init = (jnp.zeros((), jnp.int32), xs, us, jnp.zeros((), dtype), done0)
     _, xs_new, us_new, step_used, _ = jax.lax.while_loop(cond, body, init)
     return xs_new, us_new, step_used
 
@@ -398,6 +408,8 @@ class _BatchCarry(NamedTuple):
     oo_prev: jax.Array
     just_changed: jax.Array
     inner: jax.Array  # [B] inner iterations since the last (p, μ) change
+    streak: jax.Array  # [B] consecutive outer iterations at step 0 (the
+    # give_up_after counter; stays 0-reset when give-up is disabled)
 
 
 def _bwhere(c, a, b):
@@ -442,6 +454,14 @@ def solve_batched(
     interpret: bool = False,  # pallas interpret mode (CPU tests)
     precise_cost: bool = False,  # double-float line-search acceptance sums
     n_reg_levels: int = 4,  # parallel regularization ladder depth (≥1)
+    give_up_after: int | None = None,  # forward="seq" only: a lane that has
+    # rejected the ENTIRE candidate ladder (step 0) for this many consecutive
+    # outer iterations is declared dead — it stops line-searching (so it no
+    # longer forces the fleet's early-exit while_loop to full ladder depth)
+    # and its (p, μ, w, n) schedule freezes.  Dead lanes are the μ-racing
+    # pathology (docs/DESIGN.md "The panda7 f32 tail"): they never recover
+    # in-budget, and the production pattern re-solves them in a per-lane
+    # rescue pass (benchmarks/panda_rescue.py).  None = never give up.
     mults_init: al_mod.AffineMults | None = None,  # [B, T, ...] warm-start
     # multipliers (e.g. the previous MPC replan's result.mults); re-anchored
     # to the warm-start rollout via update_origin before the first sweep
@@ -477,7 +497,8 @@ def solve_batched(
                 n_linesearch=n_linesearch, unroll=unroll, backward=backward,
                 forward=forward, deriv=deriv, block_b=block_b,
                 interpret=interpret, precise_cost=precise_cost,
-                n_reg_levels=n_reg_levels, mults_init=mults_init,
+                n_reg_levels=n_reg_levels, give_up_after=give_up_after,
+                mults_init=mults_init,
                 mu_init=mu_init, reg_init=reg_init, w_init=w_init,
                 n_init=n_init, history=history,
             )  # fmt: skip
@@ -505,6 +526,11 @@ def solve_batched(
         raise ValueError(
             "backward='assoc' is Gauss-Newton only; build the Problem "
             "with second_order=False"
+        )
+    if give_up_after is not None and forward != "seq":
+        raise ValueError(
+            "give_up_after only applies to forward='seq' (the early-exit "
+            "ladder is what dead lanes would otherwise hold hostage)"
         )
 
     if us_init is None:
@@ -616,7 +642,8 @@ def solve_batched(
                 stacklevel=2,
             )
 
-        def vls(xs_, us_, k_, K_, mults_, mu_):
+        def vls(xs_, us_, k_, K_, mults_, mu_, dead_):
+            # (dead_ unused: the fused kernel pays one fixed-depth launch)
             # mults_.origin == xs_[:, :-1] at both call sites (init /
             # update_origin), which the kernel's p = pe + pex·dx assumes.
             # The kernel's 8 sublanes carry the ladder + the step-0 row, so
@@ -630,13 +657,21 @@ def solve_batched(
     elif forward in ("sweep", "seq"):
         if n_linesearch is None:
             n_linesearch = 8
-        ls_fn = _linesearch_seq if forward == "seq" else _linesearch_sweep
-        vls = jax.vmap(
-            lambda xs_, us_, k_, K_, mults_, mu_: ls_fn(
-                problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch,
-                unroll=unroll, precise=precise_cost,
+        if forward == "seq":
+            vls = jax.vmap(
+                lambda xs_, us_, k_, K_, mults_, mu_, dead_: _linesearch_seq(
+                    problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch,
+                    unroll=unroll, precise=precise_cost, dead=dead_,
+                )
             )
-        )
+        else:
+            # dead_ unused: the parallel sweep pays its fixed width anyway
+            vls = jax.vmap(
+                lambda xs_, us_, k_, K_, mults_, mu_, dead_: _linesearch_sweep(
+                    problem, xs_, us_, k_, K_, mults_, mu_, n_linesearch,
+                    unroll=unroll, precise=precise_cost,
+                )
+            )
     else:
         raise ValueError(f"unknown forward backend {forward!r}")
     v_oo = jax.vmap(
@@ -711,7 +746,7 @@ def solve_batched(
 
     derivs = vderivs(xs, us)
     k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu, reg)
-    xs1, us1, step = vls(xs, us, k, K, mults, mu)
+    xs1, us1, step = vls(xs, us, k, K, mults, mu, jnp.zeros((B,), bool))
     # guard: failed cholesky poisons the candidate rollouts
     ok = jnp.logical_and(ok, jnp.isfinite(jnp.sum(us1, axis=(1, 2))))
     xs = _bwhere(ok, xs1, xs)
@@ -727,7 +762,16 @@ def solve_batched(
     # if every level failed (μ is left alone — see note in iteration())
     reg = jnp.where(ok, reg_u, jnp.maximum(reg, mu) * 2.0)
 
+    # give-up threshold: with give_up_after unset, use a count the streak
+    # can never reach so `dead` stays all-False and fuses away
+    _gu = (
+        give_up_after
+        if give_up_after is not None
+        else params.max_iterations + 2
+    )
+
     def iteration(c: _BatchCarry, _):
+        dead = c.streak >= _gu
         derivs = vderivs(c.xs, c.us)
         mults = vupdate_origin(c.mults, c.xs)
         mults = mults._replace(jac=constrain_jac(mults.jac))
@@ -737,6 +781,9 @@ def solve_batched(
         oc = v_oc(derivs)
         olag = v_olag(derivs, mults.val, mults.jac)
         done = jnp.logical_and(olag < threshold, oc < threshold)
+        # a dead lane's schedule freezes: no multiplier updates, no further
+        # μ escalation (it is already racing), no gate-tolerance motion
+        done = jnp.logical_or(done, dead)
 
         plateau = jnp.logical_and(oo >= 0.1 * c.oo_prev, ~c.just_changed)
         gate = jnp.logical_or(oo < jnp.maximum(c.w, w_min), plateau)
@@ -782,7 +829,7 @@ def solve_batched(
         w_new = jnp.where(upd_s, c.w / c.mu, c.w)
 
         k, K, ok, reg_u = run_backward(derivs, mults.val, mults.jac, mu_new, c.reg)
-        xs1, us1, step = vls(c.xs, c.us, k, K, mults, mu_new)
+        xs1, us1, step = vls(c.xs, c.us, k, K, mults, mu_new, dead)
         ok = jnp.logical_and(ok, jnp.isfinite(jnp.sum(us1, axis=(1, 2))))
         # carry the reg level that factorized; relax on a full accepted
         # step (ddp.hpp:819-824); escalate only if all levels failed.
@@ -797,6 +844,13 @@ def solve_batched(
                 reg_u,
             ),
             jnp.maximum(c.reg, mu_new) * 2.0,
+        )
+        # dead lanes stop escalating reg too (×2 per iteration overflows f32)
+        reg_new = jnp.where(dead, c.reg, reg_new)
+        streak_new = jnp.where(
+            jnp.logical_and(ok, step > 0),
+            jnp.zeros_like(c.streak),
+            c.streak + 1,
         )
         fb_new = al_mod.AffineMults(
             _bwhere(ok, k, c.fb.val),
@@ -828,6 +882,7 @@ def solve_batched(
                     jnp.ones_like(c.inner),
                     c.inner + 1,
                 ),
+                streak=streak_new,
             ),
             rec,
         )
@@ -844,6 +899,11 @@ def solve_batched(
         oo_prev=jnp.full((B,), jnp.inf, dtype),
         just_changed=jnp.ones((B,), bool),
         inner=jnp.ones((B,), jnp.int32),  # the pre-loop bwd/fwd already ran
+        streak=jnp.where(
+            jnp.logical_and(ok, step > 0),
+            jnp.zeros((B,), jnp.int32),
+            jnp.ones((B,), jnp.int32),
+        ),
     )
     final, hist = jax.lax.scan(
         iteration,

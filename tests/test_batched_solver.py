@@ -162,3 +162,48 @@ def test_forward_seq_precise_cost_matches_sweep():
         lambda x: solve_batched(problem, params, x, forward="seq", precise_cost=True)
     )(x0s)
     np.testing.assert_array_equal(np.asarray(seq.us), np.asarray(ref.us))
+
+
+def test_give_up_after_freezes_racing_lane_only():
+    """give_up_after: a lane warm-started into the μ-race (μ₀ absurdly high →
+    penalty-stiff, every candidate rejected) goes dead after the streak and
+    freezes (μ, reg, trajectory), while the healthy lanes are bit-identical
+    to a solve without give-up.  ≙ the production panda7 rescue pattern:
+    dead lanes stop holding the fleet's early-exit ladder hostage and get
+    re-solved separately (docs/DESIGN.md "The panda7 f32 tail")."""
+    problem = make_problem()
+    params = SolverParams(max_iterations=12, threshold=1e-9, mu=1e8)
+    x0s = jnp.stack([jnp.array([q, 0.0]) for q in (-0.4, 0.0, 0.3, 0.5)])
+    # lane 0 races terminally: μ = inf is the limit of the μ·10 escalation
+    # spiral — its Quu never factorizes, every candidate's AL cost is
+    # inf/NaN, and no step is ever accepted
+    mu0 = jnp.asarray([jnp.inf, 1e8, 1e8, 1e8])
+
+    base = jax.jit(
+        lambda x: solve_batched(
+            problem, params, x, forward="seq", mu_init=mu0, history=True
+        )
+    )(x0s)
+    gu = jax.jit(
+        lambda x: solve_batched(
+            problem, params, x, forward="seq", mu_init=mu0, give_up_after=3,
+            history=True,
+        )
+    )(x0s)
+
+    # the racing lane never accepted a step in either run
+    assert float(jnp.max(base.history.step[:, 0])) == 0.0
+    assert float(jnp.max(gu.history.step[:, 0])) == 0.0
+    # healthy lanes: identical decisions and results with and without give-up
+    np.testing.assert_array_equal(np.asarray(gu.us[1:]), np.asarray(base.us[1:]))
+    np.testing.assert_array_equal(
+        np.asarray(gu.history.step[:, 1:]), np.asarray(base.history.step[:, 1:])
+    )
+    assert np.max(np.asarray(gu.opt_constr[1:])) < 1e-4
+    # dead lane: schedule frozen (μ stays at its raced value, never NaN) and
+    # its trajectory is the (frozen) incumbent — finite, not NaN-poisoned
+    assert bool(jnp.isinf(gu.mu[0]))
+    assert bool(jnp.all(jnp.isfinite(gu.us[0])))
+    # give_up_after needs the seq ladder
+    with pytest.raises(ValueError, match="give_up_after"):
+        solve_batched(problem, params, x0s, give_up_after=3)
