@@ -323,23 +323,55 @@ def _panda7_row(jax, jnp, budget_s: int = 420):
         zero_v = jnp.zeros(arm.nv, dtype)
         grav = jax.vmap(lambda q: arm.rnea(q, zero_v, zero_v))(x0s[:, : arm.nq])
         us0 = jnp.tile(grav[:, None, :], (1, H, 1))
+        # production recipe (benchmarks/panda_recipe.py sweep + the μ-race
+        # rescue, docs/DESIGN.md "The panda7 f32 tail"): highest precision
+        # (throughput-free, keeps the tail small), 4-candidate ladder
+        # (the 1.6× lever), 24 iterations, then re-solve the infeasible
+        # lanes from x0 at fresh μ₀=1e3 in one padded 128-lane block
         fn = jax.jit(
             lambda x, u: solve_batched(
                 problem, params, x, us_init=u, backward="pallas",
+                matmul_precision="highest", n_linesearch=4, forward="seq",
+                deriv="pallas",
+            )  # fmt: skip
+        )
+        RB = 128
+        params_r = SolverParams(
+            max_iterations=32, threshold=1e-5, mu=1e3, inner_iters_max=1
+        )
+        fr = jax.jit(
+            lambda x, u: solve_batched(
+                problem, params_r, x, us_init=u, backward="pallas",
                 matmul_precision="highest", n_linesearch=8, forward="seq",
                 deriv="pallas",
             )  # fmt: skip
         )
         r = fn(x0s, us0)
         jax.block_until_ready(r.us)
-        frac = float(jnp.mean((r.opt_constr < 1e-2).astype(jnp.float32)))
-        p99 = float(jnp.percentile(r.opt_constr, 99))
+        oc = np.asarray(r.opt_constr)
+        bad = np.nonzero(oc >= 1e-2)[0]
+        frac_main = float((oc < 1e-2).mean())
+        idx = np.resize(bad, RB) if bad.size else np.zeros((RB,), np.int64)
+        xr, ur = x0s[jnp.asarray(idx)], us0[jnp.asarray(idx)]
+        rr = fr(xr, ur)
+        jax.block_until_ready(rr.us)
+        ocr = np.asarray(rr.opt_constr)[: max(bad.size, 1)]
+        oc_final = oc.copy()
+        if bad.size and bad.size <= RB:
+            oc_final[bad] = ocr
+        frac = float((oc_final < 1e-2).mean())
+        p99 = float(np.percentile(oc_final, 99))
         t0 = time.perf_counter()
         r = fn(x0s, us0)
         jax.block_until_ready(r.us)
+        if bad.size:
+            rr = fr(xr, ur)
+            jax.block_until_ready(rr.us)
         dt = time.perf_counter() - t0
         return {
             "solves_per_s": round(B / dt, 1), "B": B, "iters": iters,
+            "recipe": "highest_ls4_24+rescue", "n_rescued": int(bad.size),
+            "frac_main": round(frac_main, 4),
             "frac_feasible_1e-2": round(frac, 4), "p99_constr": f"{p99:.2e}",
         }  # fmt: skip
     finally:

@@ -49,20 +49,27 @@ def main():
     # warm the rescue compile once
     jax.block_until_ready(fr(x0s[:RB], us0[:RB]).us)
 
-    for name, prec, n_ls, iters in (
-        ("high_ls8_24", "high", 8, 24),
-        ("high_ls4_24", "high", 4, 24),
-        ("highest_ls4_24", "highest", 4, 24),
-        ("high_ls4_16", "high", 4, 16),
+    for name, prec, n_ls, iters, gu, nrl in (
+        # round 3 of the sweep.  Measured so far: the ladder-depth tax is
+        # paid on TRANSIENT full-ladder rejections by different healthy
+        # lanes each iteration, so give_up_after buys nothing here (209 vs
+        # 225 solves/s at ls8) and misfires on recoverable lanes (n_bad
+        # 5→41 at ls4); n_reg_levels 4→2 is throughput-neutral.  The lever
+        # that works is capping the price of a rejection: n_ls 8→4 is
+        # 1.6×.  Probe the ladder floor (ls2, with 28 iters to let the
+        # reg-escalation recovery pick up the slack) against the best
+        # known recipe (highest_ls4_24, 355/s amortized).
+        ("highest_ls2_24", "highest", 2, 24, None, 4),
+        ("highest_ls2_28", "highest", 2, 28, None, 4),
     ):
         params = SolverParams(
             max_iterations=iters, threshold=1e-5, mu=1e4, inner_iters_max=1
         )
         fn = jax.jit(
-            lambda x, u, p=params, mp=prec, ls=n_ls: solve_batched(
+            lambda x, u, p=params, mp=prec, ls=n_ls, g=gu, nl=nrl: solve_batched(
                 problem, p, x, us_init=u, backward="pallas",
                 matmul_precision=mp, n_linesearch=ls, forward="seq",
-                deriv="pallas",
+                deriv="pallas", give_up_after=g, n_reg_levels=nl,
             )  # fmt: skip
         )
         r = fn(x0s, us0)
@@ -100,7 +107,8 @@ def main():
             oc_final[bad] = ocr
         record(
             "panda7_recipe", recipe=name, B=B, iters=iters, prec=prec,
-            n_ls=n_ls, n_bad=int(bad.size), rescued=rescued,
+            n_ls=n_ls, give_up_after=gu, n_reg_levels=nrl,
+            n_bad=int(bad.size), rescued=rescued,
             frac_main=round(frac_main, 4),
             frac_after_rescue=round(frac_final, 4),
             p99_after_rescue=f"{float(np.percentile(oc_final, 99)):.2e}",
