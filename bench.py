@@ -325,13 +325,15 @@ def _panda7_row(jax, jnp, budget_s: int = 420):
         us0 = jnp.tile(grav[:, None, :], (1, H, 1))
         # production recipe (benchmarks/panda_recipe.py sweep + the μ-race
         # rescue, docs/DESIGN.md "The panda7 f32 tail"): highest precision
-        # (throughput-free, keeps the tail small), 4-candidate ladder
-        # (the 1.6× lever), 24 iterations, then re-solve the infeasible
-        # lanes from x0 at fresh μ₀=1e3 in one padded 128-lane block
+        # (throughput-free, keeps the tail small), 2-candidate ladder (the
+        # ladder width is the lever — the reg-escalation machinery absorbs
+        # rejections), 24 iterations, then re-solve the infeasible lanes
+        # from x0 at fresh μ₀=1e3 in one padded 128-lane block
+        # (1024-lane fleet: 503 solves/s amortized, 100% @1e-2, p99 5.6e-3)
         fn = jax.jit(
             lambda x, u: solve_batched(
                 problem, params, x, us_init=u, backward="pallas",
-                matmul_precision="highest", n_linesearch=4, forward="seq",
+                matmul_precision="highest", n_linesearch=2, forward="seq",
                 deriv="pallas",
             )  # fmt: skip
         )
@@ -370,7 +372,7 @@ def _panda7_row(jax, jnp, budget_s: int = 420):
         dt = time.perf_counter() - t0
         return {
             "solves_per_s": round(B / dt, 1), "B": B, "iters": iters,
-            "recipe": "highest_ls4_24+rescue", "n_rescued": int(bad.size),
+            "recipe": "highest_ls2_24+rescue", "n_rescued": int(bad.size),
             "frac_main": round(frac_main, 4),
             "frac_feasible_1e-2": round(frac, 4), "p99_constr": f"{p99:.2e}",
         }  # fmt: skip
